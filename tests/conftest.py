@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX is imported.
+
+Multi-chip sharding logic is validated on virtual CPU devices
+(``--xla_force_host_platform_device_count=8``) as real multi-chip hardware is not
+available in CI; see SURVEY.md §4 for the test strategy this replaces (the
+reference has no test suite at all).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly
+# so tests use the 8-device virtual mesh instead of the tunneled real chip.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2024)

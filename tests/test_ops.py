@@ -1,0 +1,153 @@
+"""Parity tests: ops layer vs torch / scipy reference semantics."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+import scipy.ndimage as ndimage
+
+from diffusion_model_project_tpu.ops import (
+    activation_function,
+    distance_transform_edt,
+    get_padding,
+    group_norm,
+    interpolate_bilinear,
+    interpolate_trilinear,
+    max_pool_2x2,
+    multihead_attention,
+    MaxNormalizer,
+    upsample_nearest_hw,
+)
+
+
+def test_get_padding():
+    assert get_padding(3) == 1
+    assert get_padding(2) == 0
+    assert get_padding(4) == 1
+    assert get_padding(5) == 2
+
+
+@pytest.mark.parametrize("name,t_fn", [
+    ("silu", F.silu),
+    ("relu", F.relu),
+    ("leakyrelu", lambda x: F.leaky_relu(x, 0.01)),
+    ("softplus", F.softplus),
+    (None, lambda x: x),
+    ("", lambda x: x),
+])
+def test_activations(rng, name, t_fn):
+    x = rng.standard_normal((4, 7)).astype(np.float32)
+    ours = np.asarray(activation_function(name)(jnp.asarray(x)))
+    theirs = t_fn(torch.from_numpy(x)).numpy()
+    tol = 1e-4 if name == "softplus" else 1e-6
+    np.testing.assert_allclose(ours, theirs, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("groups,channels", [(1, 64), (32, 128), (4, 8)])
+def test_group_norm_matches_torch(rng, groups, channels):
+    x = rng.standard_normal((2, 5, 6, channels)).astype(np.float32)
+    gamma = rng.standard_normal(channels).astype(np.float32)
+    beta = rng.standard_normal(channels).astype(np.float32)
+
+    ours = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), groups))
+
+    gn = torch.nn.GroupNorm(groups, channels)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(gamma))
+        gn.bias.copy_(torch.from_numpy(beta))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # to NCHW
+    theirs = gn(xt).detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_3d_matches_torch(rng):
+    c = 32
+    x = rng.standard_normal((2, 3, 4, 5, c)).astype(np.float32)
+    gamma = np.ones(c, np.float32)
+    beta = np.zeros(c, np.float32)
+    ours = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), 32))
+    gn = torch.nn.GroupNorm(32, c)
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = gn(xt).detach().permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool(rng):
+    x = rng.standard_normal((2, 8, 10, 3)).astype(np.float32)
+    ours = np.asarray(max_pool_2x2(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    theirs = F.max_pool2d(xt, 2, 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((16, 16), (7, 7)), ((11, 13), (64, 64)), ((64, 64), (256, 256))])
+def test_bilinear_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    ours = np.asarray(interpolate_bilinear(jnp.asarray(x), *out_hw))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    theirs = F.interpolate(xt, size=out_hw, mode="bilinear", align_corners=False)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_shape,out_shape", [((11, 16, 16), (11, 8, 8)), ((8, 8, 8), (11, 16, 16))])
+def test_trilinear_matches_torch(rng, in_shape, out_shape):
+    x = rng.standard_normal((2, *in_shape, 3)).astype(np.float32)
+    ours = np.asarray(interpolate_trilinear(jnp.asarray(x), *out_shape))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = F.interpolate(xt, size=out_shape, mode="trilinear", align_corners=False)
+    theirs = theirs.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_nearest(rng):
+    x = rng.standard_normal((2, 11, 8, 8, 5)).astype(np.float32)
+    ours = np.asarray(upsample_nearest_hw(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = torch.nn.Upsample(scale_factor=(1, 2, 2))(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, theirs)
+
+
+@pytest.mark.parametrize("shape", [(3, 32, 32), (2, 256, 256), (1, 64, 48)])
+def test_edt_matches_scipy(rng, shape):
+    img = (rng.random(shape) > 0.4).astype(np.float32)
+    img[:, 0, 0] = 0.0  # guarantee at least one solid pixel
+    ours = np.asarray(distance_transform_edt(jnp.asarray(img)))
+    theirs = np.stack([ndimage.distance_transform_edt(im) for im in img])
+    np.testing.assert_allclose(ours, theirs.astype(np.float32), rtol=1e-5, atol=1e-4)
+
+
+def test_max_normalizer(rng):
+    x = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)  # NCHW
+    scales = [2.0, 0.5, 4.0]
+    n = MaxNormalizer(scales)
+    out = np.asarray(n.normalize(jnp.asarray(x), channel_axis=1))
+    expected = x / np.asarray(scales)[None, :, None, None]
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+    back = np.asarray(n.inverse(jnp.asarray(out), channel_axis=1))
+    np.testing.assert_allclose(back, x, rtol=1e-6)
+    # channels-last
+    xl = np.moveaxis(x, 1, -1)
+    outl = np.asarray(n.normalize(jnp.asarray(xl)))
+    np.testing.assert_allclose(outl, np.moveaxis(expected, 1, -1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("heads,tokens,embed", [(1, 16, 32), (2, 64, 64), (4, 100, 128)])
+def test_mha_matches_torch(rng, heads, tokens, embed):
+    x = rng.standard_normal((2, tokens, embed)).astype(np.float32)
+    mha = torch.nn.MultiheadAttention(embed, heads, batch_first=True)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        theirs, _ = mha(xt, xt, xt, need_weights=False)
+
+    sd = mha.state_dict()
+    ours = np.asarray(multihead_attention(
+        jnp.asarray(x),
+        w_qkv=jnp.asarray(sd["in_proj_weight"].numpy().T),
+        b_qkv=jnp.asarray(sd["in_proj_bias"].numpy()),
+        w_out=jnp.asarray(sd["out_proj.weight"].numpy().T),
+        b_out=jnp.asarray(sd["out_proj.bias"].numpy()),
+        num_heads=heads,
+    ))
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-4, atol=1e-5)
