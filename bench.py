@@ -1,0 +1,86 @@
+"""Headline benchmark: end-to-end 2D->3D inference throughput on one chip.
+
+Pipeline (matches the reference eval path, scripts/eval_testset_end2end.py):
+binary 256x256x11 microstructure + 2D velocity -> on-device EDT -> E2D encode
+-> 50-step DDIM (eta=0) fused lax.scan -> D3D decode -> denormalize -> mask.
+Published UNet config (in-17/out-8, features [64..1024], attention '3..2').
+
+Prints ONE JSON line:
+  {"metric": "e2e_volumes_per_sec_per_chip", "value": N, "unit": "volumes/s",
+   "vs_baseline": R}
+
+vs_baseline: the reference publishes no samples/sec (BASELINE.md). R is
+measured throughput divided by an ESTIMATED reference A100 throughput derived
+from the compiled FLOP count at 35% assumed A100 TF32 utilization (~55 TFLOP/s
+effective) — the north-star target is R >= 10.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor  # noqa: E402
+
+BATCH = int(os.environ.get("BENCH_BATCH", "2"))
+DDIM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+S, H, W = 11, 256, 256
+
+_PUBLISHED_UNET = dict(
+    in_channels=17, out_channels=8, features=(64, 128, 256, 512, 1024),
+    kernel_size=3, padding_mode="zeros", activation="silu",
+    final_activation=None, attention="3..2", dropout=0.0,
+    time_embedding_dim=64,
+)
+
+# Estimated reference throughput on A100 (see module docstring). The e2e FLOP
+# count of this pipeline is ~3.0e13 per volume (50 UNet calls on 11x17x64x64 +
+# Conv3D VAE encode/decode at 256x256x11); at ~55 TFLOP/s effective TF32 that
+# is ~1.8 volumes/s, consistent with the reference's "~30 GB, batch 2" setup.
+REF_A100_VOLUMES_PER_SEC = 1.8
+
+
+def main():
+    pred = LatentDiffusionPredictor.create(
+        dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=S,
+        num_timesteps=1000, distance_transform=True, image_hw=(H, W),
+    )
+    pred = pred.set_normalizer({"input": [1.0], "output": [2.0, 3.0, 4.0]})
+
+    r = np.random.default_rng(0)
+    img = (r.random((BATCH, S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    img = jnp.asarray(img)
+    v2d = jnp.asarray(r.standard_normal((BATCH, S, 3, H, W)).astype(np.float32))
+
+    @jax.jit
+    def e2e(pred, img, v2d, rng):
+        return pred.predict_ddim(img, v2d, num_steps=DDIM_STEPS, eta=0.0, rng=rng)
+
+    # warmup / compile
+    out = jax.block_until_ready(e2e(pred, img, v2d, jax.random.key(1)))
+    assert bool(jnp.isfinite(out).all()), "non-finite output"
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = e2e(pred, img, v2d, jax.random.key(i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    volumes_per_sec = BATCH * n_iters / dt
+    print(json.dumps({
+        "metric": "e2e_volumes_per_sec_per_chip",
+        "value": round(volumes_per_sec, 3),
+        "unit": "volumes/s",
+        "vs_baseline": round(volumes_per_sec / REF_A100_VOLUMES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Thin flax.linen primitives with torch-compatible parameter layouts.
+
+Parameter naming intentionally mirrors torch (``weight``/``bias``) so the
+PyTorch-checkpoint importer (utils/torch_import.py) is a mechanical layout
+transpose. All layers are channels-last.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.basic import group_norm
+from ..ops.attention import multihead_attention
+
+_PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
+
+
+def _norm_tuple(v, n: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(v)
+
+
+class Conv(nn.Module):
+    """N-D convolution on channels-last input with torch padding semantics.
+
+    weight: (*kernel_spatial, in, out)  [torch (O, I, *spatial) transposed]
+    ``padding`` is the symmetric per-side amount (torch ``padding=``); use
+    ``extra_pad`` for asymmetric pre-padding (the VAE's stride-(1,2,2)
+    downsampling pads (D:1,1 | H:0,1 | W:0,1) with padding=0,
+    reference VAE_model/src/vae/encoder.py:76-81).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    padding_mode: str = "zeros"
+    use_bias: bool = True
+    extra_pad: Optional[Sequence[Tuple[int, int]]] = None  # per-spatial-dim (lo, hi)
+    weight_init: Optional[nn.initializers.Initializer] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = x.ndim - 2  # spatial dims
+        ks = _norm_tuple(self.kernel_size, ndim)
+        strides = _norm_tuple(self.strides, ndim)
+        pad = _norm_tuple(self.padding, ndim)
+
+        in_ch = x.shape[-1]
+        weight = self.param(
+            "weight",
+            self.weight_init
+            or nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),  # ~ torch kaiming_uniform(a=sqrt(5))
+            (*ks, in_ch, self.features),
+        )
+
+        pad_cfg = [(p, p) for p in pad]
+        if self.extra_pad is not None:
+            pad_cfg = [(a[0] + b[0], a[1] + b[1]) for a, b in zip(pad_cfg, self.extra_pad)]
+
+        if self.padding_mode != "zeros" and any(p != (0, 0) for p in pad_cfg):
+            mode = _PAD_MODES[self.padding_mode]
+            x = jnp.pad(x, [(0, 0)] + pad_cfg + [(0, 0)], mode=mode)
+            pad_cfg = [(0, 0)] * ndim
+
+        dn = lax.conv_dimension_numbers(
+            x.shape,
+            weight.shape,
+            (
+                ("NHC", "HIO", "NHC"),
+                ("NHWC", "HWIO", "NHWC"),
+                ("NDHWC", "DHWIO", "NDHWC"),
+            )[ndim - 1],
+        )
+        out = lax.conv_general_dilated(
+            x, weight.astype(x.dtype), strides, pad_cfg,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class ConvTranspose2x2(nn.Module):
+    """torch ConvTranspose2d(kernel=2, stride=2) as an einsum + pixel interleave.
+
+    With kernel == stride and no padding the transposed conv has no overlap:
+    out[2y+dy, 2x+dx] = sum_i in[y, x, i] * W[i, o, dy, dx] — a pure matmul
+    that XLA maps straight onto the MXU. weight layout matches torch:
+    (in, out, kH, kW).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (c, self.features, 2, 2),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = jnp.einsum(
+            "bhwi,iojk->bhjwko", x, weight.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(b, h * 2, w * 2, self.features)
+        return out + bias.astype(out.dtype)
+
+
+class GroupNorm(nn.Module):
+    """torch-compatible GroupNorm (eps=1e-5, affine) on channels-last input."""
+
+    num_groups: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, weight, bias, self.num_groups)
+
+
+class Dense(nn.Module):
+    """Linear layer; weight stored (in, out) = torch weight.T."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (x.shape[-1], self.features),
+        )
+        out = jnp.einsum(
+            "...i,io->...o", x, weight.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class MultiheadSelfAttention(nn.Module):
+    """torch nn.MultiheadAttention(batch_first=True) self-attention on (B,T,E).
+
+    Params: in_proj_weight (E,3E) [torch transposed], in_proj_bias (3E,),
+    out_proj.{weight (E,E) transposed, bias}.
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        e = x.shape[-1]
+        w_qkv = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (e, 3 * e))
+        b_qkv = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        w_out = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e))
+        b_out = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+        return multihead_attention(
+            x, w_qkv.astype(x.dtype), b_qkv.astype(x.dtype),
+            w_out.astype(x.dtype), b_out.astype(x.dtype), self.num_heads,
+        )

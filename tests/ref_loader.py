@@ -65,3 +65,20 @@ def ref_dual_vae():
     ref_vae()
     mod = load_ref("refvae.src.dual_vae.model", REF / "VAE_model/src/dual_vae/model.py")
     return mod
+
+
+def ref_predictor():
+    """Load the reference LatentDiffusionPredictor with its import tangle.
+
+    predictor.py does absolute imports of 'utils.zenodo' and path-hacked
+    imports of 'VAE_model.*'; satisfy both against /root/reference.
+    """
+    load_ref("utils.zenodo", REF / "Diffusion_model/utils/zenodo.py")
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))  # for 'from VAE_model.src...' imports
+    load_ref("refdm.src.normalizer", REF / "Diffusion_model/src/normalizer.py")
+    load_ref("refdm.src.diffusion", REF / "Diffusion_model/src/diffusion.py")
+    load_ref("refdm.src.unet.blocks", REF / "Diffusion_model/src/unet/blocks.py")
+    load_ref("refdm.src.unet.models", REF / "Diffusion_model/src/unet/models.py")
+    mod = load_ref("refdm.src.predictor", REF / "Diffusion_model/src/predictor.py")
+    return mod

@@ -1,0 +1,145 @@
+"""Data layer: split parity vs reference, dataset contracts on synthetic .pt files."""
+import json
+
+import numpy as np
+import pytest
+import torch
+
+from diffusion_model_project_tpu.data import (
+    create_split, get_or_create_split, create_paired_split_for_vae,
+    get_3d_only_split, MicroFlowDataset, MicroFlowDatasetVAE, get_loader,
+)
+from diffusion_model_project_tpu.data.dataset import NumpyLoader
+
+from ref_loader import load_ref, REF
+
+
+@pytest.fixture(scope="module")
+def ref_split():
+    return load_ref("refshared.data_split", REF / "shared/data_split.py")
+
+
+@pytest.mark.parametrize("n", [10, 97, 1000])
+def test_split_membership_matches_reference(ref_split, n):
+    theirs = ref_split.create_split(n)
+    ours = create_split(n)
+    for k in ("train", "val", "test"):
+        assert ours[k] == theirs[k], k
+    assert ours["metadata"] == theirs["metadata"]
+
+
+def test_paired_split_matches_reference(ref_split):
+    theirs = ref_split.create_paired_split_for_vae(40)
+    ours = create_paired_split_for_vae(40)
+    for k in ("train", "val", "test"):
+        assert ours[k] == theirs[k]
+    t3d = ref_split.get_3d_only_split(theirs, 40)
+    o3d = get_3d_only_split(ours, 40)
+    for k in ("train", "val", "test"):
+        assert o3d[k] == t3d[k]
+
+
+def test_get_or_create_split_roundtrip(tmp_path):
+    s1 = get_or_create_split(str(tmp_path), 50)
+    assert (tmp_path / "splits.json").exists()
+    s2 = get_or_create_split(str(tmp_path), 50)
+    assert s1["train"] == s2["train"]
+    # size mismatch forces re-creation
+    s3 = get_or_create_split(str(tmp_path), 60)
+    assert s3["metadata"]["num_samples"] == 60
+
+
+@pytest.fixture()
+def synthetic_root(tmp_path):
+    """Write a tiny synthetic dataset in the reference .pt layout."""
+    r = np.random.default_rng(0)
+    n, s, h, w = 12, 3, 16, 16
+    x = tmp_path / "data" / "x"
+    x.mkdir(parents=True)
+    torch.save(torch.from_numpy((r.random((n, s, 1, h, w)) > 0.3).astype(np.float32)), x / "domain.pt")
+    u2d = r.standard_normal((n, s, 3, h, w)).astype(np.float32)
+    u2d[:, :, 2] = 0.0
+    torch.save(torch.from_numpy(u2d), x / "U_2d.pt")
+    torch.save(torch.from_numpy(r.standard_normal((n, s, 3, h, w)).astype(np.float32)), x / "U.pt")
+    torch.save(torch.from_numpy(r.standard_normal((n, s, 1, h, w)).astype(np.float32)), x / "p.pt")
+    torch.save(torch.from_numpy(np.ones((n, 3), np.float32)), x / "dxyz.pt")
+    return tmp_path / "data"
+
+
+def test_dataset_loads_and_shapes(synthetic_root):
+    ds = MicroFlowDataset(str(synthetic_root), use_3d=True)
+    assert len(ds) == 12
+    sample = ds[0]
+    assert sample["microstructure"].shape == (3, 1, 16, 16)
+    assert sample["velocity"].shape == (3, 3, 16, 16)
+    assert sample["velocity_input"].shape == (3, 3, 16, 16)
+
+
+def test_get_loader_split_and_stats(synthetic_root):
+    loaders = get_loader(str(synthetic_root), batch_size=4, use_3d=True, seed=2024)
+    train_loader, val_loader, test_loader = loaders[0]
+    # 70/15/15 of 12: 8/1/3
+    assert len(train_loader.dataset) == 8
+    assert len(val_loader.dataset) == 1
+    assert len(test_loader.dataset) == 3
+    stats = json.loads((synthetic_root / "statistics.json").read_text())
+    assert "U_per_component" in stats and "max_w" in stats["U_per_component"]
+    batch = next(iter(train_loader))
+    assert batch["velocity"].shape == (4, 3, 3, 16, 16)
+
+
+def test_get_loader_respects_splits_json(synthetic_root):
+    split = {"train": [0, 1, 2, 3], "val": [4, 5], "test": [6, 7],
+             "metadata": {"num_samples": 12}}
+    (synthetic_root / "splits.json").write_text(json.dumps(split))
+    loaders = get_loader(str(synthetic_root), batch_size=2, use_3d=True)
+    train_loader, val_loader, test_loader = loaders[0]
+    assert len(train_loader.dataset) == 4
+    assert len(val_loader.dataset) == 2
+    assert len(test_loader.dataset) == 2
+
+
+def test_kfold_loader(synthetic_root):
+    folds = get_loader(str(synthetic_root), batch_size=2, use_3d=True, k_folds=3)
+    assert len(folds) == 3
+    sizes = [len(tr.dataset) + len(va.dataset) for tr, va, _ in folds]
+    assert all(s == 12 for s in sizes)
+
+
+def test_vae_dataset_pairing(synthetic_root):
+    ds = MicroFlowDatasetVAE(str(synthetic_root))
+    n = ds.num_microstructures
+    assert len(ds) == 2 * n
+    s2d = ds[1]
+    s3d = ds[1 + n]
+    assert bool(s2d["is_2d"]) and not bool(s3d["is_2d"])
+    assert int(s2d["original_idx"]) == int(s3d["original_idx"]) == 1
+    assert s2d["velocity"].shape == (3, 3, 16, 16)  # (C, D, H, W)
+    np.testing.assert_array_equal(s2d["velocity"][2], 0.0)  # 2D sample has w=0
+
+
+def test_augmentation_sign_flips(synthetic_root):
+    ds = MicroFlowDataset(str(synthetic_root), use_3d=True, augment=True, seed=1)
+    base = MicroFlowDataset(str(synthetic_root), use_3d=True, augment=False)
+    # over several draws, augmented velocity magnitude must equal base magnitude
+    for idx in range(4):
+        aug = ds[idx]
+        ref = base[idx]
+        np.testing.assert_allclose(
+            np.sort(np.abs(aug["velocity"]).ravel()),
+            np.sort(np.abs(ref["velocity"]).ravel()), rtol=1e-6)
+
+
+def test_numpy_loader_batching():
+    class Tiny:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    loader = NumpyLoader(Tiny(), batch_size=2)
+    batches = list(loader)
+    assert [b["x"].shape[0] for b in batches] == [2, 2, 1]
+    loader2 = NumpyLoader(Tiny(), batch_size=2, drop_last=True)
+    assert [b["x"].shape[0] for b in loader2] == [2, 2]

@@ -1,0 +1,161 @@
+"""Training step + data-parallel mesh tests (8 virtual CPU devices)."""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+from diffusion_model_project_tpu.losses.physics import PhysicsLoss
+from diffusion_model_project_tpu.parallel import make_mesh, replicate, shard_batch
+from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+S, H, W = 3, 32, 32
+UNET_KW = dict(
+    in_channels=9, out_channels=4, features=(8, 16), kernel_size=3,
+    padding_mode="zeros", activation="silu", final_activation=None,
+    attention="", dropout=0.0, time_embedding_dim=16,
+)
+
+
+def make_pred():
+    return LatentDiffusionPredictor.create(
+        dict(UNET_KW), rng=jax.random.key(0), num_slices=S,
+        num_timesteps=20, distance_transform=True, image_hw=(H, W),
+    )
+
+
+def make_batch(b, seed=0):
+    r = np.random.default_rng(seed)
+    img = (r.random((b, S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    return {
+        "img": jnp.asarray(img),
+        "U_2d": jnp.asarray(r.standard_normal((b, S, 3, H, W)).astype(np.float32)),
+        "U": jnp.asarray(r.standard_normal((b, S, 3, H, W)).astype(np.float32)),
+    }
+
+
+def test_train_step_reduces_loss():
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(pred.unet_params)
+    step = jax.jit(make_diffusion_train_step(opt))
+    batch = make_batch(2)
+    rng = jax.random.key(0)
+    losses = []
+    for i in range(8):
+        # fixed rng => same noise/timesteps each step => loss must decrease
+        pred, opt_state, aux = step(pred, opt_state, batch, rng)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_only_updates_unet():
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(pred.unet_params)
+    step = jax.jit(make_diffusion_train_step(opt))
+    batch = make_batch(2)
+    vae_before = jax.tree_util.tree_leaves(pred.vae_params)
+    pred2, _, _ = step(pred, opt_state, batch, jax.random.key(0))
+    vae_after = jax.tree_util.tree_leaves(pred2.vae_params)
+    for a, b in zip(vae_before, vae_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unet params did change
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(pred.unet_params),
+                        jax.tree_util.tree_leaves(pred2.unet_params)))
+    assert changed
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """accum_steps=2 over batch 4 == single step over batch 4 with same draws.
+
+    We fix noise/t by reusing the same per-microbatch rngs via a custom check:
+    instead compare against manually averaged grads.
+    """
+    pred = make_pred()
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(pred.unet_params)
+    batch = make_batch(4)
+    rng = jax.random.key(3)
+
+    step_acc = jax.jit(make_diffusion_train_step(opt, accum_steps=2))
+    pred_acc, _, aux_acc = step_acc(pred, opt_state, batch, rng)
+
+    # manual: average grads over the two microbatches with the same rng split
+    from diffusion_model_project_tpu.training.steps import diffusion_loss_fn
+    rngs = jax.random.split(rng, 2)
+    gfn = jax.grad(diffusion_loss_fn, has_aux=True)
+    micro = jax.tree_util.tree_map(lambda x: x.reshape((2, -1) + x.shape[1:]), batch)
+    g_sum = None
+    for i in range(2):
+        mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+        g, _ = gfn(pred.unet_params, pred, mb, rngs[i])
+        g_sum = g if g_sum is None else jax.tree_util.tree_map(jnp.add, g_sum, g)
+    g_avg = jax.tree_util.tree_map(lambda x: x / 2, g_sum)
+    expected = optax.apply_updates(
+        pred.unet_params, opt.update(g_avg, opt.init(pred.unet_params))[0])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        pred_acc.unet_params, expected)
+
+
+def test_data_parallel_matches_single_device():
+    """Same batch, fixed noise: sharded 8-way step == unsharded step."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(pred.unet_params)
+    batch = make_batch(8)
+    rng = jax.random.key(0)
+    step = make_diffusion_train_step(opt)
+
+    pred_1, _, aux_1 = jax.jit(step)(pred, opt_state, batch, rng)
+
+    mesh = make_mesh(("data",))
+    with mesh:
+        batch_s = shard_batch(batch, mesh)
+        pred_s = replicate(pred, mesh)
+        opt_s = replicate(opt_state, mesh)
+        pred_8, _, aux_8 = jax.jit(step)(pred_s, opt_s, batch_s, rng)
+
+    np.testing.assert_allclose(float(aux_1["loss"]), float(aux_8["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        pred_1.unet_params, pred_8.unet_params)
+
+
+def test_physics_losses_in_training_step():
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(pred.unet_params)
+    step = jax.jit(make_diffusion_train_step(
+        opt,
+        physics=PhysicsLoss(lambda_div=0.01, lambda_flow=0.001,
+                            lambda_smooth=0.001, lambda_laplacian=0.0001),
+        lambda_velocity=0.1,
+    ))
+    batch = make_batch(2)
+    _, _, aux = step(pred, opt_state, batch, jax.random.key(0))
+    for key in ("divergence", "flow_rate", "smoothness", "laplacian",
+                "velocity_loss", "noise_loss", "loss"):
+        assert key in aux and np.isfinite(float(aux[key])), key
+
+
+def test_graft_entry_dryrun():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_graft_entry_single_chip_compiles():
+    from __graft_entry__ import entry
+    fn, args = entry()
+    # compile-check only (lower+compile on CPU); avoids running the big forward
+    jax.jit(fn).lower(*args).compile()
