@@ -94,12 +94,17 @@ class LatentDiffusionPredictor:
         lh, lw = h // 4, w // 4
         dummy_x = jnp.zeros((1, lh, lw, model_kwargs["in_channels"]), jnp.float32)
         dummy_t = jnp.zeros((1,), jnp.int32)
-        unet_params = unet.init(r_unet, dummy_x, dummy_t)["params"]
+        # init under jit: eager flax init dispatches thousands of tiny ops,
+        # which is pathologically slow on remote/tunneled TPU backends
+        unet_params = jax.jit(
+            lambda k: unet.init(k, dummy_x, dummy_t)["params"]
+        )(r_unet)
         if vae_params is None:
             dummy_v = jnp.zeros((1, num_slices, 32, 32, 3), jnp.float32)
-            vae_params = vae.init(
-                {"params": r_vae, "sample": r_sample}, dummy_v, dummy_v
-            )["params"]
+            vae_params = jax.jit(
+                lambda k1, k2: vae.init(
+                    {"params": k1, "sample": k2}, dummy_v, dummy_v)["params"]
+            )(r_vae, r_sample)
 
         return cls(
             unet=unet,

@@ -1,0 +1,190 @@
+"""Training helpers: normalization params, model setup, epoch loop.
+
+Mirrors the reference Diffusion_model/src/helper.py:
+  - get_norm_params: statistics.json -> per-component (max_u, max_v, max_w)
+    output scales, preferring U_per_component (helper.py:38-102)
+  - set_model: build predictor + set normalizers (helper.py:105-122)
+  - select_input_output: batch dict -> ((img, U_2d), U) (helper.py:151-176)
+  - run_epoch: train + validation epoch with physics/velocity aux losses and
+    metric accumulation (helper.py:179-560). Functional: returns the updated
+    (predictor, opt_state) instead of mutating.
+"""
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..losses.physics import PhysicsLoss
+from .steps import make_diffusion_eval_step, make_diffusion_train_step
+
+_PHYSICS_METRIC_KEYS = (
+    "div_mean", "div_std", "flow_rate_cv", "vel_in_solid", "vel_mean_fluid",
+    "gradient_smooth", "laplacian_smooth", "vel_u_mean", "vel_v_mean",
+    "vel_w_mean", "vel_u_max", "vel_v_max", "vel_w_max",
+)
+_PHYSICS_LOSS_KEYS = ("divergence", "flow_rate", "smoothness", "laplacian")
+_COMPONENT_KEYS = ("loss_u", "loss_v", "loss_w")
+
+
+def get_norm_params(file: str, option: str = "latent-diffusion") -> dict:
+    stats = json.load(open(file))
+    if option != "latent-diffusion":
+        raise ValueError(f"Unknown option: {option}")
+
+    if "U_per_component" in stats:
+        pc = stats["U_per_component"]
+        max_u = pc["max_u"]
+        max_v = pc["max_v"]
+        max_w = pc.get("max_w", max_u)
+        return {"input": None, "output": (max_u, max_v, max_w)}
+
+    if "U" in stats:
+        max_velocity = stats["U"]["max"]
+    elif "velocity" in stats:
+        max_velocity = stats["velocity"]["max"]
+    elif "U_2d" in stats and "U_3d" in stats:
+        max_velocity = max(stats["U_2d"]["max"], stats["U_3d"]["max"])
+    elif "U_2d" in stats:
+        max_velocity = stats["U_2d"]["max"]
+    elif "U_3d" in stats:
+        max_velocity = stats["U_3d"]["max"]
+    else:
+        max_velocity = 1.0
+    return {"input": None, "output": (max_velocity,) * 3}
+
+
+def set_model(type: str, kwargs: dict, norm_file: str, *, rng=None, image_hw=(256, 256)):
+    """Build predictor + set normalizers from statistics.json. The VAE's own
+    norm_factors (from vae_log.json) win over statistics.json for the output
+    normalizer (reference predictor.py:615-629)."""
+    from ..utils.checkpoint import build_predictor
+
+    if type != "latent-diffusion":
+        raise ValueError(f"Unknown model type: {type}")
+    predictor, vae_norm_factors = build_predictor(kwargs, rng=rng, image_hw=image_hw)
+    norm_params = get_norm_params(norm_file, option=type)
+    if vae_norm_factors is not None:
+        norm_params = {**norm_params, "output": None}  # keep VAE norm_factors
+    return predictor.set_normalizer(norm_params)
+
+
+def select_input_output(data: Dict[str, np.ndarray], option: str = "latent-diffusion"):
+    if option != "latent-diffusion":
+        raise ValueError(f"Unknown option: {option}")
+    imgs = data["microstructure"]
+    velocity_2d = data["velocity_input"]
+    targets = data["velocity"]
+    return (imgs, velocity_2d), targets
+
+
+def _batch_dict(data) -> Dict:
+    (img, v2d), targets = select_input_output(data)
+    return {"img": img, "U_2d": v2d, "U": targets}
+
+
+def run_epoch(
+    loaders,
+    predictor,
+    opt_state,
+    optimizer,
+    *,
+    rng: jax.Array,
+    cost_name: str = "normalized_mse_loss_per_component",
+    lambda_div: float = 0.0,
+    lambda_flow: float = 0.0,
+    lambda_smooth: float = 0.0,
+    lambda_laplacian: float = 0.0,
+    physics_loss_freq: int = 1,
+    lambda_velocity: float = 0.0,
+    weight_u: float = 1.0,
+    weight_v: float = 1.0,
+    weight_w: float = 1.0,
+    velocity_loss_primary: bool = False,
+    _step_cache: Optional[dict] = None,
+    verbose: bool = False,
+):
+    """One training epoch + one validation pass.
+
+    Returns (predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics).
+    ``_step_cache`` (a dict owned by the caller) holds the jitted step
+    functions across epochs to avoid re-jitting.
+    """
+    train_loader, val_loader = loaders
+    physics = PhysicsLoss(
+        lambda_div=lambda_div, lambda_flow=lambda_flow,
+        lambda_smooth=lambda_smooth, lambda_laplacian=lambda_laplacian,
+        normalize_smoothness=True,
+    )
+    use_physics = physics.is_active()
+    use_velocity = lambda_velocity > 0 or velocity_loss_primary
+
+    cache = _step_cache if _step_cache is not None else {}
+    if "train_full" not in cache:
+        common = dict(cost_name=cost_name,
+                      velocity_weights=(weight_u, weight_v, weight_w),
+                      velocity_loss_primary=velocity_loss_primary)
+        cache["train_full"] = jax.jit(make_diffusion_train_step(
+            optimizer, physics=physics, lambda_velocity=lambda_velocity, **common))
+        cache["train_plain"] = jax.jit(make_diffusion_train_step(
+            optimizer, physics=None, lambda_velocity=0.0, **common))
+        cache["eval"] = jax.jit(make_diffusion_eval_step(
+            cost_name=cost_name,
+            with_physics_metrics=use_physics or use_velocity))
+
+    # ---- training set -----------------------------------------------------
+    running_loss = 0.0
+    running_noise_loss = 0.0
+    phys_components = {k: 0.0 for k in _PHYSICS_LOSS_KEYS}
+    comp_metrics = {k: 0.0 for k in _COMPONENT_KEYS}
+    n_phys = 0
+    i = -1
+    for i, data in enumerate(train_loader):
+        if verbose:
+            print(f"Training set: batch [{i + 1}/{len(train_loader)}]")
+        batch = _batch_dict(data)
+        rng, step_rng = jax.random.split(rng)
+        heavy = (use_physics or use_velocity) and physics_loss_freq > 0 \
+            and (i % physics_loss_freq == 0)
+        step = cache["train_full"] if heavy else cache["train_plain"]
+        predictor, opt_state, aux = step(predictor, opt_state, batch, step_rng)
+        running_noise_loss += float(aux["noise_loss"])
+        running_loss += float(aux["loss"] if velocity_loss_primary else aux["noise_loss"])
+        if heavy:
+            n_phys += 1
+            for k in _PHYSICS_LOSS_KEYS:
+                if k in aux:
+                    phys_components[k] += float(aux[k])
+            for k in _COMPONENT_KEYS:
+                if k in aux:
+                    comp_metrics[k] += float(aux[k])
+    num_train = i + 1
+    avg_train_loss = running_loss / max(num_train, 1)
+    for k in phys_components:
+        phys_components[k] /= max(1, n_phys)
+
+    # ---- validation set ---------------------------------------------------
+    val_loss = 0.0
+    acc = {k: 0.0 for k in _PHYSICS_METRIC_KEYS}
+    val_phys_count = 0
+    j = -1
+    for j, data in enumerate(val_loader):
+        if verbose:
+            print(f"Validation set: batch [{j + 1}/{len(val_loader)}]")
+        batch = _batch_dict(data)
+        rng, step_rng = jax.random.split(rng)
+        metrics = cache["eval"](predictor, batch, step_rng)
+        val_loss += float(metrics["val_loss"])
+        if use_physics or use_velocity:
+            for k in _PHYSICS_METRIC_KEYS:
+                if k in metrics:
+                    acc[k] += float(metrics[k])
+            val_phys_count += 1
+    avg_val_loss = val_loss / max(j + 1, 1)
+    if val_phys_count > 0:
+        acc = {k: v / val_phys_count for k, v in acc.items()}
+
+    all_metrics = {**acc, **{f"loss_{k}": v for k, v in phys_components.items()}}
+    return predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics

@@ -25,6 +25,7 @@ from ..losses.metrics import cost_function
 from ..losses.physics import (
     PhysicsLoss,
     component_weighted_velocity_loss,
+    compute_physics_metrics,
     reconstruct_velocity_from_noise_pred,
 )
 
@@ -43,8 +44,13 @@ def diffusion_loss_fn(
     physics: Optional[PhysicsLoss] = None,
     lambda_velocity: float = 0.0,
     velocity_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    velocity_loss_primary: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """batch keys: 'img' (B,S,1,H,W), 'U_2d' (B,S,3,H,W), 'U' (B,S,3,H,W)."""
+    """batch keys: 'img' (B,S,1,H,W), 'U_2d' (B,S,3,H,W), 'U' (B,S,3,H,W).
+
+    velocity_loss_primary replaces the noise-prediction cost with the masked
+    per-component velocity loss through the frozen decoder (helper.py:320-358).
+    """
     pred = dataclasses.replace(predictor, unet_params=unet_params)
     cost = cost_function(cost_name)
 
@@ -52,25 +58,41 @@ def diffusion_loss_fn(
     eps_pred, noise, t, x_t = pred.forward(
         batch["img"], batch["U_2d"], x_start, rng=rng
     )
-    loss = cost(_cl_to_cf(eps_pred), _cl_to_cf(noise))
-    aux = {"noise_loss": jax.lax.stop_gradient(loss)}
+    aux = {}
 
-    need_velocity = (physics is not None and physics.is_active()) or lambda_velocity > 0
+    need_velocity = (
+        velocity_loss_primary
+        or (physics is not None and physics.is_active())
+        or lambda_velocity > 0
+    )
+    vel_pred = None
     if need_velocity:
         vel_pred = reconstruct_velocity_from_noise_pred(
             pred, eps_pred, x_t, t, batch["img"]
         )
-        if physics is not None and physics.is_active():
-            phys_total, comps = physics(vel_pred, batch["img"])
-            loss = loss + phys_total
-            aux.update(comps)
-        if lambda_velocity > 0:
-            vel_loss, comps = component_weighted_velocity_loss(
-                vel_pred, batch["U"], batch["img"], *velocity_weights
-            )
-            loss = loss + lambda_velocity * vel_loss
-            aux["velocity_loss"] = jax.lax.stop_gradient(vel_loss)
-            aux.update(comps)
+
+    if velocity_loss_primary:
+        loss, comps = component_weighted_velocity_loss(
+            vel_pred, batch["U"], batch["img"], *velocity_weights
+        )
+        aux.update(comps)
+        aux["noise_loss"] = jax.lax.stop_gradient(
+            cost(_cl_to_cf(eps_pred), _cl_to_cf(noise)))
+    else:
+        loss = cost(_cl_to_cf(eps_pred), _cl_to_cf(noise))
+        aux["noise_loss"] = jax.lax.stop_gradient(loss)
+
+    if physics is not None and physics.is_active():
+        phys_total, comps = physics(vel_pred, batch["img"])
+        loss = loss + phys_total
+        aux.update(comps)
+    if lambda_velocity > 0 and not velocity_loss_primary:
+        vel_loss, comps = component_weighted_velocity_loss(
+            vel_pred, batch["U"], batch["img"], *velocity_weights
+        )
+        loss = loss + lambda_velocity * vel_loss
+        aux["velocity_loss"] = jax.lax.stop_gradient(vel_loss)
+        aux.update(comps)
     aux["loss"] = jax.lax.stop_gradient(loss)
     return loss, aux
 
@@ -82,6 +104,7 @@ def make_diffusion_train_step(
     physics: Optional[PhysicsLoss] = None,
     lambda_velocity: float = 0.0,
     velocity_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    velocity_loss_primary: bool = False,
     accum_steps: int = 1,
 ) -> Callable:
     """Build train_step(predictor, opt_state, batch, rng) -> (predictor', opt_state', aux).
@@ -94,6 +117,7 @@ def make_diffusion_train_step(
         diffusion_loss_fn,
         cost_name=cost_name, physics=physics,
         lambda_velocity=lambda_velocity, velocity_weights=velocity_weights,
+        velocity_loss_primary=velocity_loss_primary,
     )
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -132,3 +156,29 @@ def make_diffusion_train_step(
         return predictor, opt_state, aux
 
     return train_step
+
+
+def make_diffusion_eval_step(
+    *,
+    cost_name: str = "normalized_mse_loss_per_component",
+    with_physics_metrics: bool = False,
+) -> Callable:
+    """Validation step (reference helper.py:464-552): noise-prediction loss,
+    plus (optionally) physics diagnostics on the reconstructed velocity."""
+    cost = cost_function(cost_name)
+
+    def eval_step(predictor, batch, rng):
+        x_start = predictor.encode_target(batch["U"])
+        eps_pred, noise, t, x_t = predictor.forward(
+            batch["img"], batch["U_2d"], x_start, rng=rng
+        )
+        loss = cost(_cl_to_cf(eps_pred), _cl_to_cf(noise))
+        metrics = {"val_loss": loss}
+        if with_physics_metrics:
+            vel_pred = reconstruct_velocity_from_noise_pred(
+                predictor, eps_pred, x_t, t, batch["img"]
+            )
+            metrics.update(compute_physics_metrics(vel_pred, batch["img"]))
+        return metrics
+
+    return eval_step

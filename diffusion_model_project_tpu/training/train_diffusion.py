@@ -1,0 +1,216 @@
+"""Diffusion training driver (reference Diffusion_model/train.py).
+
+Same behavior: Adam (torch-style L2 weight decay), optional per-epoch
+exponential LR decay (gamma=0.95499), per-epoch model + best_model + log.json
+with full config and physics-metric history, test evaluation with the best
+checkpoint, and modes train / CV (k-fold) / optimize.
+
+Differences, TPU-native:
+  - weights are saved as flax msgpack (model.msgpack); log.json schema is
+    unchanged so reference plot scripts work
+  - 'optimize' uses a built-in log-uniform random search with the same search
+    space as the reference's Optuna objective (train.py:285-332) because
+    optuna is not available in this environment; results go to study.json
+"""
+from __future__ import annotations
+
+import json
+import math
+import os.path as osp
+import random as pyrandom
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..utils.config import make_log_folder, process_args
+from ..utils.checkpoint import save_predictor
+from .helper import run_epoch, select_input_output, set_model
+from .steps import make_diffusion_eval_step
+
+_PHYSICS_LOG_KEYS = [
+    "div_mean", "div_std", "flow_rate_cv", "vel_in_solid", "vel_mean_fluid",
+    "gradient_smooth", "laplacian_smooth", "vel_u_mean", "vel_v_mean",
+    "vel_w_mean", "vel_u_max", "vel_v_max", "vel_w_max",
+    "loss_divergence", "loss_flow_rate", "loss_smoothness", "loss_laplacian",
+]
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 0.0):
+    """torch.optim.Adam semantics: L2 penalty added to the gradient BEFORE the
+    Adam moments (not AdamW's decoupled decay)."""
+    def _make(learning_rate):
+        parts = []
+        if weight_decay > 0:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam())
+        parts.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*parts)
+
+    return optax.inject_hyperparams(_make)(learning_rate=learning_rate)
+
+
+def train(
+    args,
+    train_loader,
+    val_loader,
+    test_loader=None,
+    *,
+    report_fn=None,
+    image_hw=(256, 256),
+    seed: int = 0,
+):
+    """Returns (avg_train_loss, avg_val_loss). ``report_fn(epoch, val_loss)``
+    may raise to prune a hyperparameter-search trial."""
+    param_dict = process_args(args)
+    log_dict = {
+        "params": param_dict,
+        "epoch": [], "train_loss": [], "val_loss": [], "time": [],
+        "learning_rate_history": [],
+        "physics_metrics": {k: [] for k in _PHYSICS_LOG_KEYS},
+    }
+    log_folder = make_log_folder(param_dict)
+
+    root_dir = param_dict["dataset"]["root_dir"]
+    td = param_dict["training"]
+    learning_rate = td["learning_rate"]
+
+    predictor = set_model(
+        type=td["predictor_type"], kwargs=td["predictor"],
+        norm_file=osp.join(root_dir, "statistics.json"),
+        rng=jax.random.key(seed), image_hw=image_hw,
+    )
+    optimizer = make_optimizer(learning_rate, td["weight_decay"])
+    opt_state = optimizer.init(predictor.unet_params)
+
+    rng = jax.random.key(seed + 1)
+    step_cache: dict = {}
+    best_loss = float("inf")
+    avg_train_loss = avg_val_loss = float("nan")
+
+    model_path = osp.join(log_folder, "model.msgpack")
+    best_model_path = osp.join(log_folder, "best_model.msgpack")
+    log_path = osp.join(log_folder, "log.json")
+
+    for epoch in range(td["num_epochs"]):
+        current_lr = learning_rate * (
+            td["scheduler"]["gamma"] ** epoch if td["scheduler"]["flag"] else 1.0)
+        opt_state.hyperparams["learning_rate"] = current_lr
+
+        start_time = time.time()
+        rng, epoch_rng = jax.random.split(rng)
+        predictor, opt_state, avg_train_loss, avg_val_loss, physics_metrics = run_epoch(
+            (train_loader, val_loader), predictor, opt_state, optimizer,
+            rng=epoch_rng,
+            cost_name=td["cost_function"],
+            lambda_div=td["lambda_div"], lambda_flow=td["lambda_flow"],
+            lambda_smooth=td["lambda_smooth"], lambda_laplacian=td["lambda_laplacian"],
+            physics_loss_freq=td["physics_loss_freq"],
+            lambda_velocity=td["lambda_velocity"],
+            weight_u=td["weight_u"], weight_v=td["weight_v"], weight_w=td["weight_w"],
+            velocity_loss_primary=td["velocity_loss_primary"],
+            _step_cache=step_cache,
+        )
+        dtime = time.time() - start_time
+
+        log_dict["epoch"].append(epoch)
+        log_dict["time"].append(dtime)
+        log_dict["train_loss"].append(avg_train_loss)
+        log_dict["val_loss"].append(avg_val_loss)
+        log_dict["learning_rate_history"].append(current_lr)
+        for key in log_dict["physics_metrics"]:
+            if key in physics_metrics:
+                log_dict["physics_metrics"][key].append(physics_metrics[key])
+            elif key.replace("loss_", "") in physics_metrics:
+                log_dict["physics_metrics"][key].append(
+                    physics_metrics[key.replace("loss_", "")])
+            else:
+                log_dict["physics_metrics"][key].append(0.0)
+
+        save_predictor(predictor, model_path)
+        if avg_val_loss < best_loss:
+            save_predictor(predictor, best_model_path)
+            best_loss = avg_val_loss
+        with open(log_path, "w") as f:
+            json.dump(log_dict, f, indent=4)
+
+        print(f"Epoch {epoch}: train_loss={avg_train_loss:.6f} | "
+              f"val_loss={avg_val_loss:.6f} | time={dtime:.2f} s")
+
+        if report_fn is not None:
+            report_fn(epoch, avg_val_loss)
+
+    # test evaluation with the best checkpoint
+    if test_loader is not None and not math.isinf(best_loss):
+        from ..utils.checkpoint import load_predictor_state
+
+        predictor = load_predictor_state(predictor, best_model_path)
+        eval_step = jax.jit(make_diffusion_eval_step(cost_name=td["cost_function"]))
+        test_loss, k = 0.0, -1
+        for k, data in enumerate(test_loader):
+            (img, v2d), targets = select_input_output(data)
+            rng, r = jax.random.split(rng)
+            metrics = eval_step(predictor, {"img": img, "U_2d": v2d, "U": targets}, r)
+            test_loss += float(metrics["val_loss"])
+        avg_test_loss = test_loss / max(k + 1, 1)
+        log_dict["test_loss"] = avg_test_loss
+        with open(log_path, "w") as f:
+            json.dump(log_dict, f, indent=4)
+        print(f"\nTest Loss: {avg_test_loss}")
+
+    return avg_train_loss, avg_val_loss
+
+
+class TrialPruned(Exception):
+    pass
+
+
+def optimize(args, get_loader_fn, n_trials: Optional[int] = None):
+    """Random-search replacement for the reference Optuna mode; same search
+    space (batch, odd kernel, levels -> feature stack, log-uniform lr)."""
+    rng = pyrandom.Random(2024)
+    n_trials = n_trials or args.n_trials
+    results = []
+    study_path = osp.join(args.save_dir, "study.json")
+
+    for trial_idx in range(n_trials):
+        args.batch_size = rng.randint(*args.range_batch_size)
+        args.kernel_size = rng.randrange(
+            args.range_kernel_size[0], args.range_kernel_size[1] + 1, 2)
+        levels = rng.randint(*args.range_level)
+        factors = [2 ** v for v in range(levels)]
+        if args.top_bottom:
+            args.features = [args.top_feature_channels * v for v in factors]
+        else:
+            args.features = [int(args.bottom_feature_channels / v) for v in reversed(factors)]
+        lo, hi = args.range_learning_rate
+        args.learning_rate = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+
+        train_loader, val_loader, test_loader = get_loader_fn(args)[0]
+        try:
+            _, val_loss = train(args, train_loader, val_loader, test_loader)
+            state = "COMPLETE"
+        except TrialPruned:
+            val_loss, state = float("nan"), "PRUNED"
+        results.append({
+            "trial": trial_idx, "state": state, "value": val_loss,
+            "params": {"batch_size": args.batch_size, "kernel_size": args.kernel_size,
+                       "levels": levels, "learning_rate": args.learning_rate},
+        })
+        with open(study_path, "w") as f:
+            json.dump(results, f, indent=2)
+
+    complete = [r for r in results if r["state"] == "COMPLETE"]
+    best = min(complete, key=lambda r: r["value"]) if complete else None
+    print("Study statistics:")
+    print("\t Number of finished trials: ", len(results))
+    print("\t Number of complete trials: ", len(complete))
+    if best:
+        print("Best trial:")
+        print("\t Value: ", best["value"])
+        print("\t Params:")
+        for key, value in best["params"].items():
+            print(f"\t {key}: {value}")
+    return results

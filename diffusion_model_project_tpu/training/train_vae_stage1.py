@@ -1,0 +1,339 @@
+"""Stage-1 VAE trainer: E3D + D3D on 3D velocity samples only.
+
+Mirrors the reference VAE_model/train_3d_vae_only.py:
+  - 3D-only subset of MicroFlowDatasetVAE (indices >= N), 70/15/15 split with
+    torch.Generator().manual_seed(2024) membership (replayed via torch.randperm
+    so splits are identical)
+  - per-component norm factors = max over U and U_2d stats per channel
+  - KL annealing 1e-5 -> 1e-3 over 10 warmup epochs; mean-form KL
+  - gradient accumulation x10 with grad-clip max_norm=1.0 per microbatch
+  - mask-multiplied preds/targets before the selected per-channel loss
+  - NaN/Inf health checks (skip batch) + KL-explosion abort (> 1000)
+  - per-epoch save (vae.msgpack + vae_log.json) and best_model on val loss
+
+TPU-native: the whole microbatch grad step is one jitted function; params are
+{'encoder_3d': ..., 'decoder_3d': ...} so saved checkpoints carry the same
+branch names as the reference's VAE3DWrapper state dicts.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import MicroFlowDatasetVAE, NumpyLoader
+from ..losses.metrics import (
+    kl_divergence, mae_loss_per_channel, normalized_mae_loss_per_channel,
+    normalized_mse_per_channel)
+from ..models.vae import Decoder, Encoder, reparameterize
+
+LOSS_FUNCTIONS = {
+    "mae_per_channel": mae_loss_per_channel,
+    "normalized_mae_per_channel": normalized_mae_loss_per_channel,
+    "normalized_mse_per_channel": normalized_mse_per_channel,
+}
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train 3D VAE only (Stage 1)")
+    parser.add_argument("--dataset-dir", type=str, required=True)
+    parser.add_argument("--save-dir", type=str, default="trained/dual_vae_stage1_3d")
+    parser.add_argument("--in-channels", type=int, default=3)
+    parser.add_argument("--latent-channels", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--num-epochs", type=int, default=100)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--loss-function", type=str, default="normalized_mae_per_channel",
+                        choices=sorted(LOSS_FUNCTIONS))
+    parser.add_argument("--norm-mode", type=str, default="max", choices=["max", "mean"])
+    parser.add_argument("--conditional", action="store_true")
+    parser.add_argument("--debug-latent", action="store_true")
+    parser.add_argument("--debug-batches", type=int, default=3)
+    parser.add_argument("--kl-warmup-epochs", type=int, default=10)
+    parser.add_argument("--max-kl-coeff", type=float, default=1e-3)
+    parser.add_argument("--grad-accum", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=2024)
+    return parser.parse_args(argv)
+
+
+def torch_random_split_indices(n: int, sizes, seed: int = 2024):
+    """Replicate torch.utils.data.random_split membership exactly."""
+    import torch
+
+    perm = torch.randperm(n, generator=torch.Generator().manual_seed(seed)).tolist()
+    out, ofs = [], 0
+    for size in sizes:
+        out.append(perm[ofs:ofs + size])
+        ofs += size
+    return out
+
+
+def norm_factors_from_stats(stats: dict, norm_mode: str = "max") -> np.ndarray:
+    """Per-component normalization = max over U and U_2d stats per channel
+    (reference train_3d_vae_only.py:203-251)."""
+    if "U_per_component" in stats:
+        pc = stats["U_per_component"]
+        pc2 = stats.get("U_2d_per_component", {})
+        if norm_mode == "max":
+            return np.array([
+                max(pc["max_u"], pc2.get("max_u", 0)),
+                max(pc["max_v"], pc2.get("max_v", 0)),
+                max(pc["max_w"], pc2.get("max_w", 0)),
+            ], np.float32)
+        return np.array([
+            max(pc.get("mean_u", pc["max_u"]), pc2.get("mean_u", pc2.get("max_u", 0))),
+            max(pc.get("mean_v", pc["max_v"]), pc2.get("mean_v", pc2.get("max_v", 0))),
+            max(pc.get("mean_w", pc["max_w"]), pc2.get("mean_w", pc2.get("max_w", 0))),
+        ], np.float32)
+    max_u2d = stats.get("U_2d", stats["U"])["max"]
+    mv = max(max_u2d, stats["U"]["max"])
+    return np.array([mv, mv, mv], np.float32)
+
+
+class Stage1VAE:
+    """Functional E3D+D3D pair with reference-compatible param naming."""
+
+    def __init__(self, in_channels=3, latent_channels=8):
+        self.encoder = Encoder(out_channels=latent_channels)
+        self.decoder = Decoder(out_channels=in_channels)
+        self.latent_channels = latent_channels
+
+    def init(self, rng, sample_shape):
+        r1, r2 = jax.random.split(rng)
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        enc = jax.jit(lambda k: self.encoder.init(k, dummy)["params"])(r1)
+        lat = jnp.zeros(sample_shape[:1] + (sample_shape[1],
+                        sample_shape[2] // 4, sample_shape[3] // 4,
+                        self.latent_channels), jnp.float32)
+        dec = jax.jit(lambda k: self.decoder.init(k, lat)["params"])(r2)
+        return {"encoder_3d": enc, "decoder_3d": dec}
+
+    def forward(self, params, x, rng):
+        mu, logvar = self.encoder.apply({"params": params["encoder_3d"]}, x)
+        logvar = jnp.clip(logvar, -10.0, 10.0)
+        z = reparameterize(rng, mu, logvar)
+        recon = self.decoder.apply({"params": params["decoder_3d"]}, z)
+        return recon, (mu, logvar)
+
+
+def _to_cl(x):  # (B, C, D, H, W) -> (B, D, H, W, C)
+    return jnp.moveaxis(jnp.asarray(x), 1, -1)
+
+
+def make_steps(vae: Stage1VAE, loss_name: str, optimizer):
+    loss_fn_cf = LOSS_FUNCTIONS[loss_name]
+
+    def losses(params, batch, rng, kl_coeff):
+        x = _to_cl(batch["velocity"])
+        mask = _to_cl(batch["microstructure"])
+        recon, (mu, logvar) = vae.forward(params, x, rng)
+        preds = jnp.moveaxis(recon * mask, -1, 1)
+        targets = jnp.moveaxis(x * mask, -1, 1)
+        mask_cf = jnp.moveaxis(mask, -1, 1)
+        recon_loss = loss_fn_cf(preds, targets, mask=mask_cf)
+        kl = kl_divergence(mu, logvar=logvar)
+        total = recon_loss + kl_coeff * kl
+        bad = jnp.logical_or(
+            ~jnp.isfinite(mu).all(), ~jnp.isfinite(logvar).all())
+        return total, {"recons": recon_loss, "kl": kl, "bad": bad,
+                       "mu_absmax": jnp.max(jnp.abs(mu))}
+
+    @jax.jit
+    def grad_step(params, batch, rng, kl_coeff):
+        (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
+            params, batch, rng, kl_coeff)
+        # reference clips each microbatch's gradient to max_norm=1.0
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        # skip-batch semantics: zero the gradient if mu/logvar were non-finite
+        keep = (~metrics["bad"]).astype(jnp.float32)
+        grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
+        return grads, metrics
+
+    @jax.jit
+    def apply_step(params, opt_state, g_acc, count):
+        grads = jax.tree_util.tree_map(lambda g: g / jnp.maximum(count, 1.0), g_acc)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    @jax.jit
+    def eval_step(params, batch, rng, kl_coeff):
+        _, metrics = losses(params, batch, rng, kl_coeff)
+        return metrics
+
+    return grad_step, apply_step, eval_step
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    print("=" * 60 + "\nSTAGE 1: Training 3D VAE Only\n" + "=" * 60)
+
+    if not os.path.exists(args.dataset_dir):
+        print(f"ERROR: Dataset directory not found: {args.dataset_dir}")
+        sys.exit(1)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    full_dataset = MicroFlowDatasetVAE(args.dataset_dir, augment=args.augment)
+    n = full_dataset.num_microstructures
+    indices_3d = list(range(n, 2 * n))  # is_2d == False <=> idx >= N
+    num = len(indices_3d)
+    train_size = int(0.7 * num)
+    val_size = int(0.15 * num)
+    test_size = num - train_size - val_size
+    tr, va, te = torch_random_split_indices(num, (train_size, val_size, test_size),
+                                            seed=args.seed)
+
+    class Subset:
+        def __init__(self, idx):
+            self.idx = [indices_3d[i] for i in idx]
+
+        def __len__(self):
+            return len(self.idx)
+
+        def __getitem__(self, i):
+            return full_dataset[self.idx[i]]
+
+    train_loader = NumpyLoader(Subset(tr), args.batch_size, shuffle=True, seed=args.seed)
+    val_loader = NumpyLoader(Subset(va), args.batch_size)
+    test_loader = NumpyLoader(Subset(te), args.batch_size)
+    print(f"Train: {train_size}, Val: {val_size}, Test: {test_size}")
+
+    stats_file = osp.join(args.dataset_dir, "statistics.json")
+    if not os.path.exists(stats_file):
+        print(f"ERROR: statistics.json not found at {stats_file}")
+        sys.exit(1)
+    with open(stats_file) as f:
+        statistics = json.load(f)
+    norm_factors = norm_factors_from_stats(statistics, args.norm_mode)
+    nf = jnp.asarray(norm_factors).reshape(1, 3, 1, 1, 1)
+
+    vae = Stage1VAE(args.in_channels, args.latent_channels)
+    sample0 = full_dataset[indices_3d[0]]
+    c, d, h, w = sample0["velocity"].shape
+    params = vae.init(jax.random.key(args.seed), (1, d, h, w, c))
+    optimizer = optax.adam(args.learning_rate)
+    opt_state = optimizer.init(params)
+    grad_step, apply_step, eval_step = make_steps(vae, args.loss_function, optimizer)
+
+    log_dict = {
+        "loss": {"recons_train": [], "recons_val": [], "kl_train": [],
+                 "kl_val": [], "kl_coeff": []},
+        "in_channels": args.in_channels,
+        "latent_channels": args.latent_channels,
+        "per_component_norm": True,
+        "norm_mode": args.norm_mode,
+        "norm_factors": norm_factors.tolist(),
+        "conditional": False,  # stage 1 overrides conditional to False
+        "loss_function": args.loss_function,
+    }
+    best_val_loss = float("inf")
+    rng = jax.random.key(args.seed + 1)
+    min_kl = 1e-5
+
+    def save(folder, params, log):
+        from flax import serialization
+        with open(osp.join(folder, "vae.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree_util.tree_map(np.asarray, params)))
+        with open(osp.join(folder, "vae_log.json"), "w") as f:
+            json.dump(log, f, indent=2)
+
+    for epoch in range(args.num_epochs):
+        t0 = time.time()
+        if epoch < args.kl_warmup_epochs:
+            kl_coeff = min_kl + (args.max_kl_coeff - min_kl) * (epoch / args.kl_warmup_epochs)
+        else:
+            kl_coeff = args.max_kl_coeff
+        print(f"\nEpoch {epoch + 1}/{args.num_epochs} - KL coefficient: {kl_coeff:.6f}")
+
+        running_recons = running_kl = 0.0
+        g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        acc_count = 0.0
+        i = -1
+        for i, batch in enumerate(train_loader):
+            batch = {"velocity": batch["velocity"] / np.asarray(nf),
+                     "microstructure": batch["microstructure"]}
+            rng, r = jax.random.split(rng)
+            grads, metrics = grad_step(params, batch, r, kl_coeff)
+            kl_val = float(metrics["kl"])
+            if bool(metrics["bad"]):
+                print(f"  Skipping batch {i} due to bad mu/logvar values")
+                continue
+            if kl_val > 1000:
+                print(f"  ERROR: KL loss exploded to {kl_val:.2f}! Training unstable.")
+                sys.exit(1)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            acc_count += 1.0
+            running_recons += float(metrics["recons"])
+            running_kl += kl_val
+            if (i + 1) % args.grad_accum == 0:
+                params, opt_state = apply_step(params, opt_state, g_acc, acc_count)
+                g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+                acc_count = 0.0
+        if acc_count > 0:
+            params, opt_state = apply_step(params, opt_state, g_acc, acc_count)
+        if i == -1:
+            print("ERROR: No training batches found!")
+            continue
+        avg_recons_train = running_recons / (i + 1)
+        avg_kl_train = running_kl / (i + 1)
+
+        val_recons = val_kl = 0.0
+        j = -1
+        for j, batch in enumerate(val_loader):
+            batch = {"velocity": batch["velocity"] / np.asarray(nf),
+                     "microstructure": batch["microstructure"]}
+            rng, r = jax.random.split(rng)
+            metrics = eval_step(params, batch, r, kl_coeff)
+            val_recons += float(metrics["recons"])
+            val_kl += float(metrics["kl"])
+        avg_recons_val = val_recons / max(j + 1, 1)
+        avg_kl_val = val_kl / max(j + 1, 1)
+
+        log_dict["loss"]["recons_train"].append(avg_recons_train)
+        log_dict["loss"]["kl_train"].append(avg_kl_train)
+        log_dict["loss"]["recons_val"].append(avg_recons_val)
+        log_dict["loss"]["kl_val"].append(avg_kl_val)
+        log_dict["loss"]["kl_coeff"].append(kl_coeff)
+
+        save(args.save_dir, params, log_dict)
+        val_loss = avg_recons_val + kl_coeff * avg_kl_val
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            from flax import serialization
+            with open(osp.join(args.save_dir, "best_model.msgpack"), "wb") as f:
+                f.write(serialization.msgpack_serialize(
+                    jax.tree_util.tree_map(np.asarray, params)))
+        print(f"Epoch {epoch + 1}: recons {avg_recons_train:.6f}/{avg_recons_val:.6f} "
+              f"kl {avg_kl_train:.2f}/{avg_kl_val:.2f} time {time.time() - t0:.1f}s")
+
+    # final test evaluation
+    test_recons = 0.0
+    k = -1
+    for k, batch in enumerate(test_loader):
+        batch = {"velocity": batch["velocity"] / np.asarray(nf),
+                 "microstructure": batch["microstructure"]}
+        rng, r = jax.random.split(rng)
+        metrics = eval_step(params, batch, r, args.max_kl_coeff)
+        test_recons += float(metrics["recons"])
+    if k >= 0:
+        print(f"\nTest reconstruction loss: {test_recons / (k + 1):.6f}")
+    return params, log_dict
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,336 @@
+"""Stage-2 VAE trainer: E2D + D2D with alignment and cross-reconstruction.
+
+Mirrors the reference VAE_model/train_2d_with_cross.py:
+  - PairedDataset yielding {'2d','3d'} views of the same microstructure
+  - stage-1 checkpoint loaded into E3D/D3D, both FROZEN (gradients flow to E2D
+    through the frozen D3D in the cross loss), frozen-weight checksums verified
+    every epoch
+  - per-batch losses:
+      recon_2d = per-channel loss of deterministic E2D -> D2D
+      align    = MSE(mu2d, mu3d) + 0.1*(1 - cos-sim over channel dim), mu3d
+                 under stop_gradient
+      cross    = loss(D3D(mu2d)*mask3d, target3d*mask3d)
+      total    = recon + lambda_align*align + lambda_cross*cross
+    (published recipe: lambda_align=5, lambda_cross=50; argparse defaults
+    0.1 / 1.0 as in the reference)
+  - grad accumulation x5, clip 1.0, KL term is 0 in stage 2
+  - saves model.msgpack / best_model.msgpack / vae_log.json with norm_factors
+    and lambdas
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import MicroFlowDatasetVAE, NumpyLoader
+from ..losses.metrics import (
+    mae_loss_per_channel, normalized_mae_loss_per_channel,
+    normalized_mse_per_channel)
+from ..models.vae import DualBranchVAE
+from .train_vae_stage1 import norm_factors_from_stats, torch_random_split_indices
+
+LOSS_FUNCTIONS = {
+    "mae_per_channel": mae_loss_per_channel,
+    "normalized_mae_per_channel": normalized_mae_loss_per_channel,
+    "normalized_mse_per_channel": normalized_mse_per_channel,
+}
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train 2D VAE with alignment and cross-reconstruction (Stage 2)")
+    parser.add_argument("--dataset-dir", type=str, required=True)
+    parser.add_argument("--save-dir", type=str, default="trained/dual_vae_stage2_2d")
+    parser.add_argument("--stage1-checkpoint", type=str, required=True,
+                        help="Path to stage 1 checkpoint dir (E3D+D3D)")
+    parser.add_argument("--in-channels", type=int, default=3)
+    parser.add_argument("--latent-channels", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--num-epochs", type=int, default=50)
+    parser.add_argument("--learning-rate", type=float, default=5e-5)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--loss-function", type=str, default="normalized_mae_per_channel",
+                        choices=sorted(LOSS_FUNCTIONS))
+    parser.add_argument("--beta-kl", type=float, default=1e-3)
+    parser.add_argument("--lambda-align", type=float, default=0.1)
+    parser.add_argument("--lambda-cross", type=float, default=1.0)
+    parser.add_argument("--norm-mode", type=str, default="max", choices=["max", "mean"])
+    parser.add_argument("--grad-accum", type=int, default=5)
+    parser.add_argument("--seed", type=int, default=2024)
+    return parser.parse_args(argv)
+
+
+def load_stage1_params(folder: str) -> dict:
+    """Load stage-1 E3D/D3D params from native msgpack or reference .pt."""
+    from flax import serialization
+    from ..utils import torch_import as ti
+
+    for name in ("vae.msgpack", "best_model.msgpack", "model.msgpack"):
+        path = osp.join(folder, name)
+        if osp.exists(path):
+            with open(path, "rb") as f:
+                state = serialization.msgpack_restore(f.read())
+            return {"encoder_3d": state["encoder_3d"], "decoder_3d": state["decoder_3d"]}
+    sd = ti.load_torch_state_dict(ti.find_model_file(folder))
+    flavor = ti.detect_vae_checkpoint_type(sd)
+    if flavor in ("dual_stage1_3d", "dual_full"):
+        return {
+            "encoder_3d": ti.import_vae_encoder(ti.strip_prefix(sd, "encoder_3d.")),
+            "decoder_3d": ti.import_vae_decoder(ti.strip_prefix(sd, "decoder_3d.")),
+        }
+    if flavor == "standard":
+        return {
+            "encoder_3d": ti.import_vae_encoder(ti.strip_prefix(sd, "encoder.")),
+            "decoder_3d": ti.import_vae_decoder(ti.strip_prefix(sd, "decoder.")),
+        }
+    raise ValueError(f"Unsupported stage-1 checkpoint flavor: {flavor}")
+
+
+def checksum(tree) -> float:
+    return float(sum(float(jnp.sum(x)) for x in jax.tree_util.tree_leaves(tree)))
+
+
+class PairedDataset:
+    """Returns {'2d': sample, '3d': sample} pairs of the same microstructure."""
+
+    def __init__(self, base: MicroFlowDatasetVAE, paired_indices):
+        self.base = base
+        self.paired_indices = paired_indices
+
+    def __len__(self):
+        return len(self.paired_indices)
+
+    def __getitem__(self, idx):
+        idx_2d, idx_3d = self.paired_indices[idx]
+        s2d = self.base[idx_2d]
+        s3d = self.base[idx_3d]
+        assert int(s2d["original_idx"]) == int(s3d["original_idx"]), (
+            f"Pairing mismatch: 2D={s2d['original_idx']}, 3D={s3d['original_idx']}")
+        return {
+            "velocity_2d": s2d["velocity"], "mask_2d": s2d["microstructure"],
+            "velocity_3d": s3d["velocity"], "mask_3d": s3d["microstructure"],
+        }
+
+
+def _to_cl(x):
+    return jnp.moveaxis(jnp.asarray(x), 1, -1)
+
+
+def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
+               lambda_align: float, lambda_cross: float):
+    loss_fn_cf = LOSS_FUNCTIONS[loss_name]
+
+    def losses(trainable, frozen, batch):
+        params = {**trainable, **frozen}
+        x2d = _to_cl(batch["velocity_2d"])
+        m2d = _to_cl(batch["mask_2d"])
+        x3d = _to_cl(batch["velocity_3d"])
+        m3d = _to_cl(batch["mask_3d"])
+
+        # loss 1: deterministic 2D reconstruction
+        recon2d, mu2d = vae.apply({"params": params}, x2d,
+                                  method="forward_2d_deterministic")
+        preds = jnp.moveaxis(recon2d * m2d, -1, 1)
+        targets = jnp.moveaxis(x2d * m2d, -1, 1)
+        recon_loss = loss_fn_cf(preds, targets, mask=jnp.moveaxis(m2d, -1, 1))
+
+        # loss 2: latent alignment (mu3d frozen/no-grad)
+        mu3d, _ = vae.apply({"params": params}, x3d,
+                            method="encode_3d_deterministic")
+        mu3d = jax.lax.stop_gradient(mu3d)
+        # cosine similarity over the channel axis (torch dim=1 on (B,C,D,h,w))
+        dot = jnp.sum(mu2d * mu3d, axis=-1)
+        denom = jnp.linalg.norm(mu2d, axis=-1) * jnp.linalg.norm(mu3d, axis=-1) + 1e-8
+        cos = jnp.mean(dot / denom)
+        align_loss = jnp.mean(jnp.square(mu2d - mu3d)) + 0.1 * (1.0 - cos)
+
+        # loss 3: cross reconstruction through frozen D3D
+        cross = vae.apply({"params": params}, mu2d, method="decode_3d")
+        cross_m = jnp.moveaxis(cross * m3d, -1, 1)
+        target3d_m = jnp.moveaxis(x3d * m3d, -1, 1)
+        cross_loss = loss_fn_cf(cross_m, target3d_m, mask=jnp.moveaxis(m3d, -1, 1))
+
+        total = recon_loss + lambda_align * align_loss + lambda_cross * cross_loss
+        bad = ~jnp.isfinite(mu2d).all()
+        return total, {"recons_2d": recon_loss, "align": align_loss,
+                       "cross": cross_loss, "kl_2d": jnp.float32(0.0), "bad": bad}
+
+    @jax.jit
+    def grad_step(trainable, frozen, batch):
+        (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
+            trainable, frozen, batch)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        keep = (~metrics["bad"]).astype(jnp.float32)
+        grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
+        return grads, metrics
+
+    @jax.jit
+    def apply_step(trainable, opt_state, g_acc, count):
+        grads = jax.tree_util.tree_map(lambda g: g / jnp.maximum(count, 1.0), g_acc)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state
+
+    @jax.jit
+    def eval_step(trainable, frozen, batch):
+        _, metrics = losses(trainable, frozen, batch)
+        return metrics
+
+    return grad_step, apply_step, eval_step
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    print("=" * 60 + "\nSTAGE 2: Training E2D + D2D with alignment + cross\n" + "=" * 60)
+    if not os.path.exists(args.stage1_checkpoint):
+        print(f"ERROR: Stage 1 checkpoint not found: {args.stage1_checkpoint}")
+        sys.exit(1)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    base = MicroFlowDatasetVAE(args.dataset_dir, augment=args.augment)
+    n = base.num_microstructures
+    pairs = [(i, i + n) for i in range(n)]
+    train_size = int(0.7 * n)
+    val_size = int(0.15 * n)
+    test_size = n - train_size - val_size
+    tr, va, te = torch_random_split_indices(n, (train_size, val_size, test_size),
+                                            seed=args.seed)
+    mk = lambda idx, sh: NumpyLoader(
+        PairedDataset(base, [pairs[i] for i in idx]), args.batch_size,
+        shuffle=sh, seed=args.seed)
+    train_loader, val_loader = mk(tr, True), mk(va, False)
+    print(f"Train pairs: {train_size}, Val pairs: {val_size}, Test pairs: {test_size}")
+
+    with open(osp.join(args.dataset_dir, "statistics.json")) as f:
+        statistics = json.load(f)
+    norm_factors = norm_factors_from_stats(statistics, args.norm_mode)
+    nf = norm_factors.reshape(1, 3, 1, 1, 1)
+
+    vae = DualBranchVAE(in_channels=args.in_channels,
+                        latent_channels=args.latent_channels)
+    sample0 = base[0]
+    c, d, h, w = sample0["velocity"].shape
+    dummy = jnp.zeros((1, d, h, w, c), jnp.float32)
+    all_params = jax.jit(lambda k1, k2: vae.init(
+        {"params": k1, "sample": k2}, dummy, dummy)["params"]
+    )(jax.random.key(args.seed), jax.random.key(args.seed + 1))
+
+    frozen = load_stage1_params(args.stage1_checkpoint)
+    frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+    trainable = {"encoder_2d": all_params["encoder_2d"],
+                 "decoder_2d": all_params["decoder_2d"]}
+    e3d_checksum = checksum(frozen["encoder_3d"])
+    d3d_checksum = checksum(frozen["decoder_3d"])
+    print(f"Loaded + froze stage-1 E3D/D3D (checksums {e3d_checksum:.6f}/{d3d_checksum:.6f})")
+
+    optimizer = optax.adam(args.learning_rate)
+    opt_state = optimizer.init(trainable)
+    grad_step, apply_step, eval_step = make_steps(
+        vae, args.loss_function, optimizer, args.lambda_align, args.lambda_cross)
+
+    log_dict = {
+        "loss": {"recons_2d_train": [], "recons_2d_val": [], "kl_2d_train": [],
+                 "kl_2d_val": [], "align_train": [], "align_val": [],
+                 "cross_train": [], "cross_val": [], "kl_coeff": []},
+        "in_channels": args.in_channels,
+        "latent_channels": args.latent_channels,
+        "model_type": "dual",
+        "norm_mode": args.norm_mode,
+        "norm_factors": norm_factors.tolist(),
+        "lambda_align": args.lambda_align,
+        "lambda_cross": args.lambda_cross,
+        "beta_kl": args.beta_kl,
+        "loss_function": args.loss_function,
+    }
+    best_val_loss = float("inf")
+
+    def norm_batch(batch):
+        return {
+            "velocity_2d": batch["velocity_2d"] / nf, "mask_2d": batch["mask_2d"],
+            "velocity_3d": batch["velocity_3d"] / nf, "mask_3d": batch["mask_3d"],
+        }
+
+    def save(path, trainable):
+        from flax import serialization
+        full = {**trainable, **frozen}
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree_util.tree_map(np.asarray, full)))
+
+    for epoch in range(args.num_epochs):
+        t0 = time.time()
+        kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
+        running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
+        g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        acc_count = 0.0
+        i = -1
+        for i, batch in enumerate(train_loader):
+            grads, metrics = grad_step(trainable, frozen, norm_batch(batch))
+            if bool(metrics["bad"]):
+                print(f"WARNING: NaN/Inf in mean_2d at batch {i}")
+                continue
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            acc_count += 1.0
+            for k in running:
+                running[k] += float(metrics[k])
+            if (i + 1) % args.grad_accum == 0:
+                trainable, opt_state = apply_step(trainable, opt_state, g_acc, acc_count)
+                g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+                acc_count = 0.0
+        if acc_count > 0:
+            trainable, opt_state = apply_step(trainable, opt_state, g_acc, acc_count)
+        num_train = max(i + 1, 1)
+
+        val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
+        j = -1
+        for j, batch in enumerate(val_loader):
+            metrics = eval_step(trainable, frozen, norm_batch(batch))
+            for k in val:
+                val[k] += float(metrics[k])
+        num_val = max(j + 1, 1)
+
+        for k, log_key in (("recons_2d", "recons_2d"), ("kl_2d", "kl_2d"),
+                           ("align", "align"), ("cross", "cross")):
+            log_dict["loss"][f"{log_key}_train"].append(running[k] / num_train)
+            log_dict["loss"][f"{log_key}_val"].append(val[k] / num_val)
+        log_dict["loss"]["kl_coeff"].append(kl_coeff)
+
+        # frozen-weight checksums (reference train_2d_with_cross.py:602-608)
+        if abs(checksum(frozen["encoder_3d"]) - e3d_checksum) > 1e-5:
+            print("  WARNING: E3D weights changed!")
+        if abs(checksum(frozen["decoder_3d"]) - d3d_checksum) > 1e-5:
+            print("  WARNING: D3D weights changed!")
+
+        save(osp.join(args.save_dir, "model.msgpack"), trainable)
+        current_val_loss = (val["recons_2d"] / num_val
+                            + kl_coeff * val["kl_2d"] / num_val
+                            + args.lambda_align * val["align"] / num_val
+                            + args.lambda_cross * val["cross"] / num_val)
+        if current_val_loss < best_val_loss:
+            best_val_loss = current_val_loss
+            save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
+        with open(osp.join(args.save_dir, "vae_log.json"), "w") as f:
+            json.dump(log_dict, f, indent=2)
+        print(f"Epoch {epoch + 1}/{args.num_epochs}: "
+              f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
+              f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
+              f"time {time.time() - t0:.1f}s")
+
+    return trainable, frozen, log_dict
+
+
+if __name__ == "__main__":
+    main()

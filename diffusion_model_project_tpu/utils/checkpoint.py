@@ -1,0 +1,283 @@
+"""Checkpoint save/load: native msgpack format + reference .pt compatibility.
+
+Native format (one file per run dir, mirrors the reference's layout):
+  model.msgpack / best_model.msgpack  — flax-serialized predictor state
+  log.json                            — full config + training history (the
+                                        checkpoint IS the config store)
+
+Reference-compat loading replays the predictor's checkpoint machinery
+(Diffusion_model/src/predictor.py:342-599):
+  - filename fallback chains (vae.pt -> best_model.pt -> model.pt for VAEs,
+    best_model.pt first for diffusion; autoencoder.py:117, inference.py:48-55)
+  - flavor detection dual_full / dual_stage1_3d / dual_stage2_2d / standard
+  - legacy 'layers.N' key remapping
+  - norm_factors pulled from the decoder dir's vae_log.json
+  - scheduler key mismatch -> reinit (tables are recomputed, never loaded)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os.path as osp
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from . import torch_import as ti
+
+
+# --------------------------------------------------------------------------
+# native msgpack format
+# --------------------------------------------------------------------------
+
+def predictor_state(predictor) -> dict:
+    return {
+        "unet_params": predictor.unet_params,
+        "vae_params": predictor.vae_params,
+        "norm_input": np.asarray(predictor.norm_input.scale_factors),
+        "norm_output": np.asarray(predictor.norm_output.scale_factors),
+    }
+
+
+def save_predictor(predictor, path: str) -> None:
+    from flax import serialization
+
+    state = jax.tree_util.tree_map(np.asarray, predictor_state(predictor))
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+
+
+def load_predictor_state(predictor, path: str):
+    from flax import serialization
+    from ..ops.normalizer import MaxNormalizer
+
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    return dataclasses.replace(
+        predictor,
+        unet_params=state["unet_params"],
+        vae_params=state["vae_params"],
+        norm_input=MaxNormalizer(state["norm_input"]),
+        norm_output=MaxNormalizer(state["norm_output"]),
+    )
+
+
+# --------------------------------------------------------------------------
+# reference .pt loading
+# --------------------------------------------------------------------------
+
+_NATIVE_ORDER = ("best_model.msgpack", "vae.msgpack", "model.msgpack")
+
+
+def _load_native_branches(folder: str) -> Optional[dict]:
+    """Load a native msgpack VAE checkpoint's branch dict if one exists."""
+    from flax import serialization
+
+    for name in _NATIVE_ORDER:
+        path = osp.join(folder, name)
+        if osp.exists(path):
+            with open(path, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+    return None
+
+
+def load_dual_vae_from_paths(
+    vae_path: Optional[str] = None,
+    vae_encoder_path: Optional[str] = None,
+    vae_decoder_path: Optional[str] = None,
+) -> Tuple[dict, Optional[list], str]:
+    """Load DualBranchVAE flax params from checkpoint dir(s) — native msgpack
+    (this framework) or reference .pt.
+
+    Returns (vae_params, norm_factors, flavor). Mirrors predictor.py:342-599.
+    """
+    norm_factors = None
+
+    if vae_encoder_path is not None and vae_decoder_path is not None:
+        decoder_log = osp.join(vae_decoder_path, "vae_log.json")
+        if osp.exists(decoder_log):
+            with open(decoder_log) as f:
+                log = json.load(f)
+            norm_factors = log.get("norm_factors")
+
+        enc_native = _load_native_branches(vae_encoder_path)
+        dec_native = _load_native_branches(vae_decoder_path)
+        if enc_native is not None and dec_native is not None:
+            e2d = enc_native.get("encoder_2d", enc_native.get("encoder_3d"))
+            d3d = dec_native["decoder_3d"]
+            e3d = dec_native["encoder_3d"]
+            d2d = enc_native.get("decoder_2d", d3d)
+            return ({"encoder_2d": e2d, "encoder_3d": e3d,
+                     "decoder_2d": d2d, "decoder_3d": d3d},
+                    norm_factors, "dual_split_native")
+
+        enc_sd = ti.load_torch_state_dict(
+            ti.find_model_file(vae_encoder_path, ("best_model.pt", "vae.pt", "model.pt")))
+        dec_sd = ti.load_torch_state_dict(
+            ti.find_model_file(vae_decoder_path, ("best_model.pt", "vae.pt", "model.pt")))
+
+        def pick(sd, dual_prefix, std_prefix, what):
+            sub = ti.strip_prefix(sd, dual_prefix)
+            if not sub:
+                sub = ti.strip_prefix(sd, std_prefix)
+            if not sub:
+                raise ValueError(
+                    f"Cannot find {what} weights (looked for '{dual_prefix}' / '{std_prefix}')")
+            return sub
+
+        e2d = ti.import_vae_encoder(pick(enc_sd, "encoder_2d.", "encoder.", "E2D"))
+        d3d = ti.import_vae_decoder(pick(dec_sd, "decoder_3d.", "decoder.", "D3D"))
+        e3d = ti.import_vae_encoder(pick(dec_sd, "encoder_3d.", "encoder.", "E3D"))
+        d2d_sub = ti.strip_prefix(enc_sd, "decoder_2d.")
+        d2d = ti.import_vae_decoder(d2d_sub) if d2d_sub else d3d
+        return ({"encoder_2d": e2d, "encoder_3d": e3d,
+                 "decoder_2d": d2d, "decoder_3d": d3d}, norm_factors, "dual_split")
+
+    if vae_path is None:
+        raise ValueError("VAE path must be provided for latent diffusion, or both "
+                         "encoder and decoder paths must be specified")
+
+    native = _load_native_branches(vae_path)
+    if native is not None:
+        vae_log_p = osp.join(vae_path, "vae_log.json")
+        if osp.exists(vae_log_p):
+            with open(vae_log_p) as f:
+                norm_factors = json.load(f).get("norm_factors")
+        e3d = native.get("encoder_3d")
+        d3d = native.get("decoder_3d")
+        e2d = native.get("encoder_2d", e3d)
+        d2d = native.get("decoder_2d", d3d)
+        if e3d is None or d3d is None:
+            raise ValueError(f"Native checkpoint in {vae_path} lacks the 3D branch")
+        return ({"encoder_2d": e2d, "encoder_3d": e3d,
+                 "decoder_2d": d2d, "decoder_3d": d3d}, norm_factors, "native")
+
+    vae_log = osp.join(vae_path, "vae_log.json")
+    if osp.exists(vae_log):
+        with open(vae_log) as f:
+            log = json.load(f)
+        norm_factors = log.get("norm_factors")
+        if log.get("conditional"):
+            raise NotImplementedError("Conditional standard VAE checkpoints are not supported yet")
+
+    sd = ti.load_torch_state_dict(ti.find_model_file(vae_path))
+    flavor = ti.detect_vae_checkpoint_type(sd)
+
+    if flavor == "dual_full":
+        return ti.import_dual_vae(sd), norm_factors, flavor
+    if flavor == "dual_stage1_3d":
+        # shared-encoder mode: E3D serves both branches (predictor.py:423-465)
+        e3d = ti.import_vae_encoder(ti.strip_prefix(sd, "encoder_3d."))
+        d3d = ti.import_vae_decoder(ti.strip_prefix(sd, "decoder_3d."))
+        d2d_sub = ti.strip_prefix(sd, "decoder_2d.")
+        d2d = ti.import_vae_decoder(d2d_sub) if d2d_sub else d3d
+        return ({"encoder_2d": e3d, "encoder_3d": e3d,
+                 "decoder_2d": d2d, "decoder_3d": d3d}, norm_factors, flavor)
+    if flavor == "dual_stage2_2d":
+        raise ValueError(
+            f"Detected Stage 2 (2D only) checkpoint at {vae_path}. It lacks decoder_3d; "
+            "provide the Stage 1 path via --vae-decoder-path.")
+    if flavor == "standard":
+        enc = ti.import_vae_encoder(ti.strip_prefix(sd, "encoder."))
+        dec = ti.import_vae_decoder(ti.strip_prefix(sd, "decoder."))
+        return ({"encoder_2d": enc, "encoder_3d": enc,
+                 "decoder_2d": dec, "decoder_3d": dec}, norm_factors, flavor)
+    raise ValueError(f"Unrecognized VAE checkpoint flavor in {vae_path}")
+
+
+def load_diffusion_torch_checkpoint(predictor, model_path: str, num_levels: int):
+    """Load a reference diffusion checkpoint (full predictor state dict with
+    model./vae./normalizer. prefixes) into our predictor. Scheduler tables are
+    reinitialized (reference predictor.py:206-218); VAE keys may be absent
+    (inference.py filters them + strict=False) in which case the current VAE
+    params are kept."""
+    from ..ops.normalizer import MaxNormalizer
+
+    sd = ti.load_torch_state_dict(model_path)
+    unet_sd = ti.strip_prefix(sd, "model.")
+    unet_params = ti.import_unet(unet_sd, num_levels=num_levels)
+
+    kwargs: Dict = {"unet_params": unet_params}
+    vae_sd = ti.strip_prefix(sd, "vae.")
+    if vae_sd:
+        kwargs["vae_params"] = ti.import_dual_vae(vae_sd)
+    if "normalizer.input.scale_factors" in sd:
+        kwargs["norm_input"] = MaxNormalizer(sd["normalizer.input.scale_factors"])
+    if "normalizer.output.scale_factors" in sd:
+        kwargs["norm_output"] = MaxNormalizer(sd["normalizer.output.scale_factors"])
+    return dataclasses.replace(predictor, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# predictor factory from config / run dir
+# --------------------------------------------------------------------------
+
+def build_predictor(
+    predictor_kwargs: dict,
+    *,
+    rng=None,
+    image_hw=(256, 256),
+):
+    """Build a LatentDiffusionPredictor from the reference's predictor-kwargs
+    dict (model_name/model_kwargs/distance_transform/vae paths/num_slices/
+    num_timesteps), loading VAE weights if paths are given."""
+    from ..diffusion.predictor import LatentDiffusionPredictor
+
+    model_name = predictor_kwargs.get("model_name", "UNet")
+    if model_name != "UNet":
+        raise ValueError(f"Unknown model: {model_name}")
+    model_kwargs = dict(predictor_kwargs["model_kwargs"])
+
+    vae_params = None
+    norm_factors = None
+    if (predictor_kwargs.get("vae_path")
+            or (predictor_kwargs.get("vae_encoder_path")
+                and predictor_kwargs.get("vae_decoder_path"))):
+        vae_params, norm_factors, _ = load_dual_vae_from_paths(
+            predictor_kwargs.get("vae_path"),
+            predictor_kwargs.get("vae_encoder_path"),
+            predictor_kwargs.get("vae_decoder_path"),
+        )
+
+    pred = LatentDiffusionPredictor.create(
+        model_kwargs,
+        rng=rng if rng is not None else jax.random.key(0),
+        num_slices=predictor_kwargs.get("num_slices", 11),
+        num_timesteps=predictor_kwargs.get("num_timesteps", 1000),
+        distance_transform=predictor_kwargs.get("distance_transform", True),
+        vae_params=vae_params,
+        image_hw=image_hw,
+    )
+    if norm_factors is not None:
+        pred = pred.set_normalizer({"output": norm_factors})
+    return pred, norm_factors
+
+
+def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = True,
+                             vae_path_overrides: Optional[dict] = None):
+    """Rebuild a predictor from a run dir's log.json + weights
+    (native model.msgpack preferred, reference model.pt accepted).
+    vae_path_overrides may remap vae_path / vae_encoder_path /
+    vae_decoder_path (reference resolve_path machinery, inference.py:95-126)."""
+    with open(osp.join(folder, "log.json")) as f:
+        log_data = json.load(f)
+    param_dict = log_data["params"]
+    predictor_type = param_dict["training"]["predictor_type"]
+    if predictor_type != "latent-diffusion":
+        raise ValueError(f"Unknown or unsupported predictor type: {predictor_type}")
+    predictor_kwargs = dict(param_dict["training"]["predictor"])
+    if vae_path_overrides:
+        predictor_kwargs.update(vae_path_overrides)
+    pred, _ = build_predictor(predictor_kwargs, image_hw=image_hw)
+
+    names = (["best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"]
+             if best else ["model.msgpack", "model.pt"])
+    for name in names:
+        path = osp.join(folder, name)
+        if osp.exists(path):
+            if name.endswith(".msgpack"):
+                return load_predictor_state(pred, path), param_dict
+            num_levels = len(predictor_kwargs["model_kwargs"]["features"])
+            return load_diffusion_torch_checkpoint(pred, path, num_levels), param_dict
+    raise FileNotFoundError(f"No model weights found in {folder}")

@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""End-to-end evaluation of the latent diffusion pipeline on the test set.
+
+Flag-compatible with the reference scripts/eval_testset_end2end.py: two modes
+(end-to-end diffusion: 2D input -> E2D -> DDIM/DDPM -> D3D vs --sanity-mode
+VAE-only: GT -> E3D -> D3D), per-sample seeded noise (seed + sample_idx),
+masked metric suite, mean/std/min/max aggregation, JSON + optional CSV
+reports, and the samples/sec throughput print.
+
+TPU-native: the whole per-sample pipeline is one jitted program; the reverse
+process is a fused lax.scan. Per-sample noise uses jax.random.key(seed+idx)
+(torch noise streams are not reproducible cross-framework); use
+--noise-dir <dir> with <idx>.npy files to inject reference-generated noise
+for exact parity runs.
+"""
+import argparse
+import csv
+import json
+import os
+import os.path as osp
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..")))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffusion_model_project_tpu.losses.eval_metrics import (  # noqa: E402
+    compute_accuracy_score, compute_all_metrics)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="End-to-end evaluation of latent diffusion pipeline on test set")
+    parser.add_argument("--diffusion-model-path", type=str, required=True,
+                        help="Path to trained diffusion model directory")
+    parser.add_argument("--vae-path", type=str, default=None)
+    parser.add_argument("--vae-encoder-path", type=str, default=None)
+    parser.add_argument("--vae-decoder-path", type=str, default=None)
+    parser.add_argument("--dataset-dir", type=str, required=True)
+    parser.add_argument("--split", type=str, default="test",
+                        choices=["train", "valid", "test"])
+    parser.add_argument("--index", type=int, default=None)
+    parser.add_argument("--num-samples", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--sampler", type=str, default="ddim", choices=["ddpm", "ddim"])
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--save-csv", type=str, default=None)
+    parser.add_argument("--save-npz-preds", action="store_true")
+    parser.add_argument("--output-dir", type=str, default=None)
+    parser.add_argument("--sanity-mode", action="store_true",
+                        help="VAE-ONLY mode: bypass diffusion, test VAE reconstruction only")
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--noise-dir", type=str, default=None,
+                        help="Directory with <sample_idx>.npy initial-noise tensors "
+                             "(channels-first) for exact parity with reference runs")
+    return parser.parse_args(argv)
+
+
+def load_model_and_config(args, image_hw):
+    from diffusion_model_project_tpu.utils.checkpoint import (
+        load_diffusion_torch_checkpoint, load_predictor_state)
+    from diffusion_model_project_tpu.training.helper import get_norm_params
+    from diffusion_model_project_tpu.utils.checkpoint import build_predictor
+
+    with open(osp.join(args.diffusion_model_path, "log.json")) as f:
+        log_data = json.load(f)
+    predictor_kwargs = dict(log_data["params"]["training"]["predictor"])
+    # VAE paths from CLI override the (possibly machine-specific) logged paths
+    if args.vae_path or (args.vae_encoder_path and args.vae_decoder_path):
+        predictor_kwargs["vae_path"] = args.vae_path
+        predictor_kwargs["vae_encoder_path"] = args.vae_encoder_path
+        predictor_kwargs["vae_decoder_path"] = args.vae_decoder_path
+    pred, vae_norm_factors = build_predictor(predictor_kwargs, image_hw=image_hw)
+
+    # diffusion weights: best_model first (reference inference.py:48-55)
+    for name in ("best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"):
+        path = osp.join(args.diffusion_model_path, name)
+        if osp.exists(path):
+            if name.endswith(".msgpack"):
+                pred = load_predictor_state(pred, path)
+            else:
+                num_levels = len(predictor_kwargs["model_kwargs"]["features"])
+                pred = load_diffusion_torch_checkpoint(pred, path, num_levels)
+            print(f"Loaded diffusion weights from {path}")
+            break
+    else:
+        raise FileNotFoundError(f"No model weights in {args.diffusion_model_path}")
+
+    stats_file = osp.join(args.dataset_dir, "statistics.json")
+    if vae_norm_factors is not None:
+        norm_factors = tuple(vae_norm_factors)
+    else:
+        norm_factors = tuple(get_norm_params(stats_file)["output"])
+        pred = pred.set_normalizer({"output": list(norm_factors)})
+    return pred, norm_factors
+
+
+def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
+                   num_steps=50, seed=42, sanity_mode=False, num_samples=None,
+                   single_index=None, noise_dir=None, save_npz_dir=None):
+    per_sample_results = []
+    sanity_stats = {k: [] for k in (
+        "pred_min", "pred_max", "pred_mean", "pred_std",
+        "target_min", "target_max", "target_mean", "target_std")}
+
+    total_available = len(test_dataset)
+    if single_index is not None:
+        if not 0 <= single_index < total_available:
+            raise ValueError(f"Index {single_index} out of range [0, {total_available - 1}]")
+        sample_indices = [single_index]
+    elif num_samples is not None:
+        sample_indices = list(range(min(num_samples, total_available)))
+    else:
+        sample_indices = list(range(total_available))
+    total = len(sample_indices)
+
+    print("=" * 60)
+    if sanity_mode:
+        print(f"VAE-ONLY SANITY CHECK on {total} sample(s)  (GT -> E3D -> D3D)")
+    else:
+        print(f"END-TO-END DIFFUSION EVALUATION on {total} sample(s)")
+        print(f"    2D input -> E2D -> {sampler.upper()} ({num_steps} steps) -> D3D")
+    print("=" * 60)
+
+    # jitted pipelines (compiled once, reused across samples)
+    if sanity_mode:
+        @jax.jit
+        def predict_fn(pred, img, v2d, target, noise):
+            v_cl = jnp.moveaxis(target, 2, -1)
+            v_norm = pred.norm_output.normalize(v_cl, channel_axis=-1)
+            mu, _ = pred.vae.apply({"params": pred.vae_params}, v_norm,
+                                   method="encode_3d_deterministic")
+            recon = pred.vae.apply({"params": pred.vae_params}, mu, method="decode_3d")
+            recon = pred.norm_output.inverse(recon, channel_axis=-1)
+            return jnp.moveaxis(recon, -1, 2) * img
+    elif sampler == "ddim":
+        @jax.jit
+        def predict_fn(pred, img, v2d, target, noise):
+            return pred.predict_ddim(img, v2d, num_steps=num_steps, eta=0.0, noise=noise)
+    else:
+        @jax.jit
+        def predict_fn(pred, img, v2d, target, noise):
+            return pred.predict(img, v2d, noise=noise)
+
+    start_time = time.time()
+    for eval_idx, sample_idx in enumerate(sample_indices):
+        sample_start = time.time()
+        data = test_dataset[sample_idx]
+        img = jnp.asarray(data["microstructure"])[None]
+        velocity_2d = jnp.asarray(data["velocity_input"])[None]
+        target = jnp.asarray(data["velocity"])[None]
+
+        s = velocity_2d.shape[1]
+        lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
+        if noise_dir is not None:
+            noise = jnp.asarray(np.load(osp.join(noise_dir, f"{sample_idx}.npy")))
+        else:
+            noise = jax.random.normal(
+                jax.random.key(seed + sample_idx),
+                (s, predictor.latent_channels, lh, lw))
+
+        prediction = np.asarray(jax.block_until_ready(
+            predict_fn(predictor, img, velocity_2d, target, noise)))
+        sample_time = time.time() - sample_start
+
+        assert prediction.shape == target.shape, \
+            f"Shape mismatch: pred {prediction.shape} vs target {target.shape}"
+
+        target_np = np.asarray(target)
+        metrics = compute_all_metrics(prediction, target_np, norm_factors,
+                                      mask=np.asarray(img), compute_optional=True)
+        metrics["sample_id"] = sample_idx
+        metrics["time_sec"] = sample_time
+        metrics["accuracy_score"] = compute_accuracy_score(metrics["nmae_total"])
+        per_sample_results.append(metrics)
+
+        if save_npz_dir is not None:
+            np.savez(osp.join(save_npz_dir, f"pred_{sample_idx:04d}.npz"),
+                     prediction=prediction, target=target_np)
+
+        sanity_stats["pred_min"].append(float(prediction.min()))
+        sanity_stats["pred_max"].append(float(prediction.max()))
+        sanity_stats["pred_mean"].append(float(prediction.mean()))
+        sanity_stats["pred_std"].append(float(prediction.std()))
+        sanity_stats["target_min"].append(float(target_np.min()))
+        sanity_stats["target_max"].append(float(target_np.max()))
+        sanity_stats["target_mean"].append(float(target_np.mean()))
+        sanity_stats["target_std"].append(float(target_np.std()))
+
+        elapsed = time.time() - start_time
+        samples_per_sec = (eval_idx + 1) / elapsed if elapsed > 0 else 0
+        mode_prefix = "[VAE]" if sanity_mode else "[DIFF]"
+        print(f"{mode_prefix} Sample {sample_idx:4d} ({eval_idx + 1}/{total}) | "
+              f"nMAE={metrics['nmae_total']:.4f} | "
+              f"Acc={metrics['accuracy_score']:.4f} | "
+              f"Time={sample_time:.2f}s | "
+              f"Speed={samples_per_sec:.2f} samples/sec")
+
+    total_time = time.time() - start_time
+    print(f"\nTotal evaluation time: {total_time:.2f}s")
+    print(f"Average time per sample: {total_time / max(1, len(per_sample_results)):.2f}s")
+    return per_sample_results, sanity_stats
+
+
+def aggregate_results(per_sample_results):
+    if not per_sample_results:
+        return {}
+    keys = [k for k in per_sample_results[0] if k != "sample_id"]
+    out = {}
+    for key in keys:
+        vals = [r[key] for r in per_sample_results if key in r]
+        if vals:
+            out[f"{key}_mean"] = float(np.mean(vals))
+            out[f"{key}_std"] = float(np.std(vals))
+            out[f"{key}_min"] = float(np.min(vals))
+            out[f"{key}_max"] = float(np.max(vals))
+    return out
+
+
+def save_results(per_sample_results, aggregated, sanity_stats, args, output_dir):
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    mode_str = "vae_only" if args.sanity_mode else f"diffusion_{args.sampler}_{args.steps}steps"
+    results = {
+        "timestamp": timestamp,
+        "evaluation_mode": "VAE_ONLY_SANITY_CHECK" if args.sanity_mode else "END_TO_END_DIFFUSION",
+        "pipeline": ("GT -> E3D -> D3D -> compare" if args.sanity_mode
+                     else f"2D input -> E2D -> {args.sampler.upper()} ({args.steps} steps) -> D3D -> compare"),
+        "args": vars(args),
+        "summary": aggregated,
+        "sanity_stats": {k: {"mean": float(np.mean(v)), "std": float(np.std(v))}
+                         for k, v in sanity_stats.items()},
+        "accuracy_definition": "Accuracy = 1 / (1 + normalized_MAE_total), bounded in (0, 1], higher is better",
+        "per_sample_results": per_sample_results,
+    }
+    json_path = osp.join(output_dir, f"eval_results_{mode_str}_{timestamp}.json")
+    with open(json_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nResults saved to: {json_path}")
+
+    if args.save_csv:
+        csv_path = args.save_csv if osp.isabs(args.save_csv) else osp.join(output_dir, args.save_csv)
+        os.makedirs(osp.dirname(csv_path) or ".", exist_ok=True)
+        fieldnames = ["sample_id", "mae_u", "mae_v", "mae_w", "nmae_total",
+                      "rmse_total", "cosine_similarity", "iou_top10", "time_sec",
+                      "accuracy_score"]
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames, extrasaction="ignore")
+            writer.writeheader()
+            writer.writerows(per_sample_results)
+        print(f"CSV saved to: {csv_path}")
+    return json_path
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
+        jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.data import get_loader
+
+    loaders = get_loader(root_dir=args.dataset_dir, batch_size=args.batch_size,
+                         use_3d=True, seed=2024)
+    train_loader, val_loader, test_loader = loaders[0]
+    dataset = {"train": train_loader, "valid": val_loader, "test": test_loader}[args.split].dataset
+
+    sample0 = dataset[0]
+    image_hw = sample0["microstructure"].shape[-2:]
+    predictor, norm_factors = load_model_and_config(args, image_hw)
+    print(f"Normalization factors (max_u, max_v, max_w): {norm_factors}")
+
+    output_dir = args.output_dir or args.diffusion_model_path
+    os.makedirs(output_dir, exist_ok=True)
+    npz_dir = None
+    if args.save_npz_preds:
+        npz_dir = osp.join(output_dir, "predictions_npz")
+        os.makedirs(npz_dir, exist_ok=True)
+
+    per_sample, sanity = run_evaluation(
+        predictor, dataset, norm_factors,
+        sampler=args.sampler, num_steps=args.steps, seed=args.seed,
+        sanity_mode=args.sanity_mode, num_samples=args.num_samples,
+        single_index=args.index, noise_dir=args.noise_dir, save_npz_dir=npz_dir)
+    aggregated = aggregate_results(per_sample)
+
+    print("\n--- Total Metrics ---")
+    print(f"  nMAE_total: {aggregated.get('nmae_total_mean', 0):.6f} "
+          f"+/- {aggregated.get('nmae_total_std', 0):.6f}")
+    print(f"  Accuracy = 1/(1+nMAE_total) = {aggregated.get('accuracy_score_mean', 0):.4f}")
+    save_results(per_sample, aggregated, sanity, args, output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # so tests use the 8-device virtual mesh instead of the tunneled real chip.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the workflow tests compile many programs;
+# cache them across pytest invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

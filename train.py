@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Diffusion training CLI — flag-compatible with the reference
+Diffusion_model/train.py (modes train / CV / optimize).
+
+Usage:
+    python train.py \
+        --root-dir path/to/dataset_3d \
+        --vae-encoder-path trained/stage2 \
+        --vae-decoder-path trained/stage1 \
+        --in-channels 17 --out-channels 8 \
+        --features 64 128 256 512 1024 --attention "3..2" \
+        --batch-size 2 --num-epochs 100
+"""
+import sys
+
+from diffusion_model_project_tpu.utils.config import parser
+from diffusion_model_project_tpu.data import get_loader
+from diffusion_model_project_tpu.training.train_diffusion import train, optimize
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    if args.device:
+        # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    def load(args):
+        return get_loader(
+            root_dir=args.root_dir, batch_size=args.batch_size,
+            shuffle=args.shuffle, augment=args.augment,
+            k_folds=None, use_3d=args.use_3d,
+        )
+
+    if args.mode == "train":
+        train_loader, val_loader, test_loader = load(args)[0]
+        train(args, train_loader, val_loader, test_loader)
+    elif args.mode == "CV":
+        folds = get_loader(
+            root_dir=args.root_dir, batch_size=args.batch_size,
+            shuffle=args.shuffle, augment=args.augment,
+            k_folds=args.k_folds, use_3d=args.use_3d,
+        )
+        for i, (train_loader, val_loader, test_loader) in enumerate(folds):
+            print(f"Cross-Validation [{i + 1}/{args.k_folds}]")
+            args.name = f"kfold-{i + 1}.{args.k_folds}"
+            train(args, train_loader, val_loader, test_loader)
+    elif args.mode == "optimize":
+        optimize(args, load)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
