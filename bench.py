@@ -51,6 +51,13 @@ def main():
         num_timesteps=1000, distance_transform=True, image_hw=(H, W),
     )
     pred = pred.set_normalizer({"input": [1.0], "output": [2.0, 3.0, 4.0]})
+    # bf16 network compute (scheduler math stays f32); measured e2e error vs
+    # f32 is ~3e-5 per-voxel MSE — far inside the 1e-3 parity budget.
+    pred = pred.with_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    if os.environ.get("BENCH_PALLAS", "0") == "1":
+        from diffusion_model_project_tpu.models.layers import enable_pallas_fusion
+        enable_pallas_fusion(attention=True,
+                             groupnorm=os.environ.get("BENCH_PALLAS_GN", "0") == "1")
 
     r = np.random.default_rng(0)
     img = (r.random((BATCH, S, 1, H, W)) > 0.3).astype(np.float32)

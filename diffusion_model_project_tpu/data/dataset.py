@@ -337,6 +337,48 @@ def _subset(dataset: MicroFlowDataset, indices: Sequence[int], augment: bool,
     )
 
 
+def load_VirtualPermeabilityBenchmark(folder: str) -> Dict[str, np.ndarray]:
+    """Load the Virtual Permeability Benchmark micrographs
+    (doi:10.5281/zenodo.6611926; reference dataset.py:680-743).
+
+    Reads sorted .tif cross-sections, binarizes + inverts (0=fiber, 1=fluid),
+    returns {'microstructure_original': (S, 1, H, W), 'dxyz': (S, 3)}.
+    """
+    from PIL import Image
+
+    voxel_size = 0.521e-6  # microns/voxel
+    paths = sorted(osp.join(folder, p) for p in os.listdir(folder))
+    imgs = []
+    for path in paths:
+        im = Image.open(path).convert("1")
+        im = np.invert(np.array(im))
+        imgs.append(im[None, None].astype(np.float32))
+    microstructure = np.concatenate(imgs, axis=0)
+    s, _, h, w = microstructure.shape
+    dxyz = np.broadcast_to(
+        np.array([[w * voxel_size, h * voxel_size, voxel_size]], np.float32), (s, 3)
+    ).copy()
+    return {"microstructure_original": microstructure, "dxyz": dxyz}
+
+
+def resize_image(img: np.ndarray, target_height: int = 256) -> np.ndarray:
+    """Resize (*, H, W) to the target height preserving aspect ratio
+    (reference dataset.py:746-774; antialiased)."""
+    assert img.ndim > 2, "Input image must have more than 2 dimensions."
+    from PIL import Image
+
+    orig_h, orig_w = img.shape[-2:]
+    target_width = int(orig_w * target_height / orig_h)
+    lead = img.shape[:-2]
+    flat = img.reshape(-1, orig_h, orig_w)
+    out = np.stack([
+        np.asarray(Image.fromarray(np.asarray(sl, np.float32))
+                   .resize((target_width, target_height), Image.BILINEAR))
+        for sl in flat
+    ])
+    return out.reshape(*lead, target_height, target_width)
+
+
 def get_loader(
     root_dir: str,
     augment: bool = False,

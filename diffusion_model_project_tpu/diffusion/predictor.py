@@ -59,12 +59,24 @@ class LatentDiffusionPredictor:
     num_slices: int = 11
     num_timesteps: int = 1000
     distance_transform: bool = True
+    # compute dtype for the UNet/VAE networks. Scheduler math, normalization
+    # and GroupNorm statistics always stay float32; bfloat16 here trades a
+    # ~1e-2 relative network-output error (well inside the 1e-3 MSE parity
+    # budget after denormalization) for MXU throughput.
+    compute_dtype: str = "float32"
     # leaves
     unet_params: dict = None
     vae_params: dict = None
     scheduler: DiffusionScheduler = None
     norm_input: MaxNormalizer = None
     norm_output: MaxNormalizer = None
+
+    @property
+    def _cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    def with_compute_dtype(self, dtype: str) -> "LatentDiffusionPredictor":
+        return dataclasses.replace(self, compute_dtype=str(jnp.dtype(dtype)))
 
     # ---------------------------------------------------------------- setup
 
@@ -153,9 +165,10 @@ class LatentDiffusionPredictor:
         v2d_cl = _cf_to_cl(velocity_2d)                       # (B,S,H,W,3)
         v2d_norm = self.norm_output.normalize(v2d_cl, channel_axis=-1)
         z_cond, _ = self.vae.apply(
-            {"params": self.vae_params}, v2d_norm, method="encode_2d_deterministic"
+            {"params": self.vae_params}, v2d_norm.astype(self._cdtype),
+            method="encode_2d_deterministic"
         )                                                     # (B,S,lh,lw,C)
-        z_cond = z_cond.reshape(b * ld, lh, lw, self.latent_channels)
+        z_cond = z_cond.astype(jnp.float32).reshape(b * ld, lh, lw, self.latent_channels)
 
         # --- microstructure features ---
         img_flat = _cf_to_cl(img).reshape(b * s, h, w, 1)
@@ -168,8 +181,11 @@ class LatentDiffusionPredictor:
         return z_cond, feats
 
     def _unet_eps(self, x, z_cond, m_cond, t):
-        unet_in = jnp.concatenate([x, z_cond, m_cond], axis=-1)
-        return self.unet.apply({"params": self.unet_params}, unet_in, t)
+        unet_in = jnp.concatenate(
+            [x.astype(self._cdtype), z_cond.astype(self._cdtype),
+             m_cond.astype(self._cdtype)], axis=-1)
+        return self.unet.apply(
+            {"params": self.unet_params}, unet_in, t).astype(jnp.float32)
 
     # ----------------------------------------------------------------- train
 
@@ -179,9 +195,10 @@ class LatentDiffusionPredictor:
         v_cl = _cf_to_cl(velocity_3d)
         v_norm = self.norm_output.normalize(v_cl, channel_axis=-1)
         mu, _ = self.vae.apply(
-            {"params": self.vae_params}, v_norm, method="encode_3d_deterministic"
+            {"params": self.vae_params}, v_norm.astype(self._cdtype),
+            method="encode_3d_deterministic"
         )
-        return _cl_to_cf(mu)
+        return _cl_to_cf(mu.astype(jnp.float32))
 
     def forward(
         self,
@@ -238,8 +255,9 @@ class LatentDiffusionPredictor:
         s = img.shape[1]
         h, w = img.shape[-2], img.shape[-1]
         z = x.reshape(b, ld, lh, lw, self.latent_channels)
-        vel = self.vae.apply({"params": self.vae_params}, z, method="decode_3d")
-        vel = self.norm_output.inverse(vel, channel_axis=-1)  # (B,ld,H,W,3)
+        vel = self.vae.apply(
+            {"params": self.vae_params}, z.astype(self._cdtype), method="decode_3d")
+        vel = self.norm_output.inverse(vel.astype(jnp.float32), channel_axis=-1)
         if ld != s:
             vel = interpolate_trilinear(vel, s, h, w)
         vel = _cl_to_cf(vel)                                   # (B,S,3,H,W)
@@ -327,7 +345,8 @@ class LatentDiffusionPredictor:
     # --------------------------------------------------------------- pytree
 
     _LEAF_FIELDS = ("unet_params", "vae_params", "scheduler", "norm_input", "norm_output")
-    _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps", "distance_transform")
+    _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps",
+                   "distance_transform", "compute_dtype")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._LEAF_FIELDS)

@@ -18,6 +18,27 @@ from ..ops.attention import multihead_attention
 
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
+# Decompose depth-3 stride-1 Conv3D into 3 depth-shifted Conv2Ds summed
+# (numerically exact). XLA maps the 2D convs onto the MXU ~10-20% more
+# efficiently than its native 3D convolution at these shapes (measured on
+# v5e: 89 vs 74 TFLOP/s bf16 at 128ch/256^2).
+CONV3D_DECOMPOSE = True
+
+# Route GroupNorm+activation and/or self-attention through the fused Pallas
+# kernels (ops/pallas/). Off by default: numerically equivalent, but measured
+# NEUTRAL-to-slightly-slower for the published model's shapes on v5e (XLA
+# already fuses these small normalization/attention stages well; e2e bench
+# 4.09 vs 4.22 vol/s with attention fusion on). Kept for larger-token-count
+# configurations where the fused VMEM-resident path wins.
+PALLAS_ATTENTION = False
+PALLAS_GROUPNORM = False
+
+
+def enable_pallas_fusion(attention: bool = True, groupnorm: bool = True) -> None:
+    global PALLAS_ATTENTION, PALLAS_GROUPNORM
+    PALLAS_ATTENTION = attention
+    PALLAS_GROUPNORM = groupnorm
+
 
 def _norm_tuple(v, n: int) -> Tuple[int, ...]:
     if isinstance(v, int):
@@ -68,6 +89,13 @@ class Conv(nn.Module):
             x = jnp.pad(x, [(0, 0)] + pad_cfg + [(0, 0)], mode=mode)
             pad_cfg = [(0, 0)] * ndim
 
+        if (CONV3D_DECOMPOSE and ndim == 3 and ks[0] == 3 and strides[0] == 1):
+            out = self._conv3d_decomposed(x, weight, strides, pad_cfg)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = out + bias.astype(out.dtype)
+            return out
+
         dn = lax.conv_dimension_numbers(
             x.shape,
             weight.shape,
@@ -86,6 +114,30 @@ class Conv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias.astype(out.dtype)
         return out
+
+    def _conv3d_decomposed(self, x, weight, strides, pad_cfg):
+        """Depth-3 stride-1 Conv3D as sum of 3 depth-shifted Conv2Ds (exact)."""
+        b, d, h, w, cin = x.shape
+        pd_lo, pd_hi = pad_cfg[0]
+        if (pd_lo, pd_hi) != (0, 0):
+            x = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
+        d_pad = d + pd_lo + pd_hi
+        d_out = d_pad - 2
+        hw_pads = list(pad_cfg[1:])
+        hw_strides = strides[1:]
+        dn2 = lax.conv_dimension_numbers(
+            (b * d_out, h, w, cin), weight.shape[1:], ("NHWC", "HWIO", "NHWC"))
+
+        out = None
+        for k in range(3):
+            xs = x[:, k:k + d_out].reshape(b * d_out, h, w, cin)
+            y = lax.conv_general_dilated(
+                xs, weight[k].astype(x.dtype), hw_strides, hw_pads,
+                dimension_numbers=dn2, preferred_element_type=jnp.float32,
+            )
+            out = y if out is None else out + y
+        out = out.astype(x.dtype)
+        return out.reshape(b, d_out, *out.shape[1:])
 
 
 class ConvTranspose2x2(nn.Module):
@@ -117,16 +169,28 @@ class ConvTranspose2x2(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch-compatible GroupNorm (eps=1e-5, affine) on channels-last input."""
+    """torch-compatible GroupNorm (eps=1e-5, affine) on channels-last input.
+
+    ``act`` optionally fuses the following activation; with PALLAS_FUSION the
+    fused Pallas kernel handles norm+act in one VMEM pass.
+    """
 
     num_groups: int
+    act: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, weight, bias, self.num_groups)
+        if PALLAS_GROUPNORM and self.act in ("", "silu", "relu"):
+            from ..ops.pallas import fused_groupnorm_act
+
+            return fused_groupnorm_act(x, weight, bias, self.num_groups, act=self.act)
+        out = group_norm(x, weight, bias, self.num_groups)
+        from ..ops.basic import activation_function
+
+        return activation_function(self.act)(out)
 
 
 class Dense(nn.Module):
@@ -168,6 +232,12 @@ class MultiheadSelfAttention(nn.Module):
         b_qkv = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         w_out = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e))
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+        if PALLAS_ATTENTION:
+            from ..ops.pallas import fused_attention
+
+            return fused_attention(
+                x, w_qkv.astype(x.dtype), b_qkv.astype(x.dtype),
+                w_out.astype(x.dtype), b_out.astype(x.dtype), self.num_heads)
         return multihead_attention(
             x, w_qkv.astype(x.dtype), b_qkv.astype(x.dtype),
             w_out.astype(x.dtype), b_out.astype(x.dtype), self.num_heads,

@@ -70,8 +70,9 @@ class Block(nn.Module):
             padding=get_padding(self.kernel_size),
             padding_mode=self.padding_mode, use_bias=False, name="conv",
         )(x)
-        x = GroupNorm(1, name="norm")(x)
-        return activation_function(self.activation)(x)
+        fused = self.activation if self.activation in ("silu", "relu") else ""
+        x = GroupNorm(1, act=fused, name="norm")(x)
+        return x if fused else activation_function(self.activation)(x)
 
 
 class DoubleBlock(nn.Module):
@@ -106,8 +107,9 @@ class Down(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = max_pool_2x2(x)
-        x = GroupNorm(1, name="norm")(x)
-        return activation_function(self.activation)(x)
+        fused = self.activation if self.activation in ("silu", "relu") else ""
+        x = GroupNorm(1, act=fused, name="norm")(x)
+        return x if fused else activation_function(self.activation)(x)
 
 
 class Up(nn.Module):
@@ -117,8 +119,9 @@ class Up(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = ConvTranspose2x2(self.out_channels, name="conv")(x)
-        x = GroupNorm(1, name="norm")(x)
-        return activation_function(self.activation)(x)
+        fused = self.activation if self.activation in ("silu", "relu") else ""
+        x = GroupNorm(1, act=fused, name="norm")(x)
+        return x if fused else activation_function(self.activation)(x)
 
 
 class SelfAttention2D(nn.Module):

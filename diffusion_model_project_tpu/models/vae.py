@@ -61,10 +61,10 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = get_padding(self.kernel_size)
-        h = GroupNorm(32, name="norm1")(x)
-        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv1")(silu(h))
-        h = GroupNorm(32, name="norm2")(h)
-        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv2")(silu(h))
+        h = GroupNorm(32, act="silu", name="norm1")(x)
+        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv1")(h)
+        h = GroupNorm(32, act="silu", name="norm2")(h)
+        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, 1, name="residual_layer")(x)
         return h + x
@@ -77,12 +77,12 @@ class ConditionalResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         pad = get_padding(self.kernel_size)
-        h = GroupNorm(32, name="norm1")(x)
-        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv1")(silu(h))
+        h = GroupNorm(32, act="silu", name="norm1")(x)
+        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv1")(h)
         if condition is not None:
             h = FiLM(self.out_channels, name="film1")(h, condition)
-        h = GroupNorm(32, name="norm2")(h)
-        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv2")(silu(h))
+        h = GroupNorm(32, act="silu", name="norm2")(h)
+        h = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv2")(h)
         if condition is not None:
             h = FiLM(self.out_channels, name="film2")(h, condition)
         if x.shape[-1] != self.out_channels:
@@ -139,8 +139,8 @@ class Encoder(nn.Module):
                  extra_pad=_ASYM_PAD, name="down2")(x)
         x = res(Res(512, "res3_1"), x)
         x = res(Res(512, "res3_2"), x)
-        x = GroupNorm(32, name="norm_out")(x)
-        x = Conv(2 * self.out_channels, self.kernel_size, padding=pad, name="conv_out")(silu(x))
+        x = GroupNorm(32, act="silu", name="norm_out")(x)
+        x = Conv(2 * self.out_channels, self.kernel_size, padding=pad, name="conv_out")(x)
         if cond is not None:
             x = FiLM(2 * self.out_channels, name="film_out")(x, cond)
         mu, logvar = jnp.split(x, 2, axis=-1)
@@ -181,8 +181,8 @@ class Decoder(nn.Module):
         x = res(Res(128, "res3_2"), x)
         if cond is not None:
             x = FiLM(128, name="film_pre_out")(x, cond)
-        x = GroupNorm(32, name="norm_out")(x)
-        x = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv_out")(silu(x))
+        x = GroupNorm(32, act="silu", name="norm_out")(x)
+        x = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv_out")(x)
         if cond is not None:
             # zero the w channel for 2D samples (condition False => 2D)
             mask_3d = cond.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))

@@ -101,18 +101,28 @@ def train(
 
         start_time = time.time()
         rng, epoch_rng = jax.random.split(rng)
-        predictor, opt_state, avg_train_loss, avg_val_loss, physics_metrics = run_epoch(
-            (train_loader, val_loader), predictor, opt_state, optimizer,
-            rng=epoch_rng,
-            cost_name=td["cost_function"],
-            lambda_div=td["lambda_div"], lambda_flow=td["lambda_flow"],
-            lambda_smooth=td["lambda_smooth"], lambda_laplacian=td["lambda_laplacian"],
-            physics_loss_freq=td["physics_loss_freq"],
-            lambda_velocity=td["lambda_velocity"],
-            weight_u=td["weight_u"], weight_v=td["weight_v"], weight_w=td["weight_w"],
-            velocity_loss_primary=td["velocity_loss_primary"],
-            _step_cache=step_cache,
-        )
+
+        profile_ctx = None
+        if epoch == 0 and getattr(args, "profile_dir", None):
+            from ..utils.profiling import profile_trace
+            profile_ctx = profile_trace(args.profile_dir)
+            profile_ctx.__enter__()
+        try:
+            predictor, opt_state, avg_train_loss, avg_val_loss, physics_metrics = run_epoch(
+                (train_loader, val_loader), predictor, opt_state, optimizer,
+                rng=epoch_rng,
+                cost_name=td["cost_function"],
+                lambda_div=td["lambda_div"], lambda_flow=td["lambda_flow"],
+                lambda_smooth=td["lambda_smooth"], lambda_laplacian=td["lambda_laplacian"],
+                physics_loss_freq=td["physics_loss_freq"],
+                lambda_velocity=td["lambda_velocity"],
+                weight_u=td["weight_u"], weight_v=td["weight_v"], weight_w=td["weight_w"],
+                velocity_loss_primary=td["velocity_loss_primary"],
+                _step_cache=step_cache,
+            )
+        finally:
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
         dtime = time.time() - start_time
 
         log_dict["epoch"].append(epoch)

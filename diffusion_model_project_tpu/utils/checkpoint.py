@@ -281,3 +281,32 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
             num_levels = len(predictor_kwargs["model_kwargs"]["features"])
             return load_diffusion_torch_checkpoint(pred, path, num_levels), param_dict
     raise FileNotFoundError(f"No model weights found in {folder}")
+
+
+def retrieve_model_path(directory_or_url: str, filename: str = "model.pt") -> str:
+    """Resolve a local dir or URL to a weights file path, downloading +
+    unzipping from Zenodo when given a URL (reference helper.py:563-590)."""
+    from ..data.zenodo import download_data, is_url, unzip_data
+
+    if is_url(directory_or_url):
+        folder = "pretrained"
+        import os
+        os.makedirs(folder, exist_ok=True)
+        zip_path = download_data(url=directory_or_url, save_dir=folder)
+        folder_path = unzip_data(zip_path=zip_path, save_dir=folder)
+        return osp.join(folder_path, filename)
+    return osp.join(directory_or_url, filename)
+
+
+def predictor_from_directory_or_url(directory_or_url: str, **kwargs):
+    """from_directory with transparent Zenodo download for URLs
+    (reference predictor.py:252-292)."""
+    from ..data.zenodo import download_data, is_url, unzip_data
+
+    if is_url(directory_or_url):
+        import os
+        folder = "pretrained"
+        os.makedirs(folder, exist_ok=True)
+        zip_path = download_data(url=directory_or_url, save_dir=folder)
+        directory_or_url = unzip_data(zip_path=zip_path, save_dir=folder)
+    return predictor_from_directory(directory_or_url, **kwargs)

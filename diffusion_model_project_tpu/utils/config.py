@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     group_train.add_argument("--num-slices", type=int, default=11)
     group_train.add_argument("--use-3d", type=str_to_bool, default=True)
     group_train.add_argument("--num-timesteps", type=int, default=1000)
+    # TPU-framework extensions (not in the reference CLI)
+    group_train.add_argument("--profile-dir", type=str, default=None,
+                             help="Capture a jax.profiler trace of the first epoch into this dir.")
+    group_train.add_argument("--debug-nans", type=str_to_bool, default=False,
+                             help="Enable jax_debug_nans (traps NaN/Inf at the producing op).")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)

@@ -24,6 +24,9 @@ def main(argv=None):
         # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
         import jax
         jax.config.update("jax_platforms", args.device)
+    if args.debug_nans:
+        from diffusion_model_project_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
 
     def load(args):
         return get_loader(
