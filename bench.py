@@ -27,7 +27,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor  # noqa: E402
 
-BATCH = int(os.environ.get("BENCH_BATCH", "2"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 DDIM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 S, H, W = 11, 256, 256
 

@@ -80,9 +80,14 @@ def select_input_output(data: Dict[str, np.ndarray], option: str = "latent-diffu
     return (imgs, velocity_2d), targets
 
 
-def _batch_dict(data) -> Dict:
+def _batch_dict(data, mesh=None) -> Dict:
     (img, v2d), targets = select_input_output(data)
-    return {"img": img, "U_2d": v2d, "U": targets}
+    batch = {"img": img, "U_2d": v2d, "U": targets}
+    if mesh is not None and img.shape[0] % mesh.devices.size == 0:
+        from ..parallel import shard_batch
+
+        batch = shard_batch(batch, mesh)
+    return batch
 
 
 def run_epoch(
@@ -105,12 +110,15 @@ def run_epoch(
     velocity_loss_primary: bool = False,
     _step_cache: Optional[dict] = None,
     verbose: bool = False,
+    mesh=None,
 ):
     """One training epoch + one validation pass.
 
     Returns (predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics).
     ``_step_cache`` (a dict owned by the caller) holds the jitted step
-    functions across epochs to avoid re-jitting.
+    functions across epochs to avoid re-jitting. With ``mesh`` set, batches
+    whose size divides the 'data' axis are sharded over it (XLA inserts the
+    gradient psum); remainder batches run replicated.
     """
     train_loader, val_loader = loaders
     physics = PhysicsLoss(
@@ -144,7 +152,7 @@ def run_epoch(
     for i, data in enumerate(train_loader):
         if verbose:
             print(f"Training set: batch [{i + 1}/{len(train_loader)}]")
-        batch = _batch_dict(data)
+        batch = _batch_dict(data, mesh)
         rng, step_rng = jax.random.split(rng)
         heavy = (use_physics or use_velocity) and physics_loss_freq > 0 \
             and (i % physics_loss_freq == 0)
@@ -173,7 +181,7 @@ def run_epoch(
     for j, data in enumerate(val_loader):
         if verbose:
             print(f"Validation set: batch [{j + 1}/{len(val_loader)}]")
-        batch = _batch_dict(data)
+        batch = _batch_dict(data, mesh)
         rng, step_rng = jax.random.split(rng)
         metrics = cache["eval"](predictor, batch, step_rng)
         val_loss += float(metrics["val_loss"])

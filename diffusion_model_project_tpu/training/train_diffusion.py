@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from ..utils.config import make_log_folder, process_args
-from ..utils.checkpoint import save_predictor
+from ..utils.checkpoint import save_predictor, save_train_state, load_train_state
 from .helper import run_epoch, select_input_output, set_model
 from .steps import make_diffusion_eval_step
 
@@ -61,9 +61,15 @@ def train(
     report_fn=None,
     image_hw=(256, 256),
     seed: int = 0,
+    data_parallel: bool = True,
 ):
     """Returns (avg_train_loss, avg_val_loss). ``report_fn(epoch, val_loss)``
-    may raise to prune a hyperparameter-search trial."""
+    may raise to prune a hyperparameter-search trial.
+
+    With data_parallel (default) and more than one visible device, a 1-D
+    ``data`` mesh is entered for the whole run: batches are sharded over ICI,
+    params/optimizer state replicated, gradient psum inserted by XLA — the
+    TPU-native replacement for the reference's torch.nn.DataParallel."""
     param_dict = process_args(args)
     log_dict = {
         "params": param_dict,
@@ -85,16 +91,42 @@ def train(
     optimizer = make_optimizer(learning_rate, td["weight_decay"])
     opt_state = optimizer.init(predictor.unet_params)
 
+    mesh = None
+    if data_parallel and jax.device_count() > 1:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh(("data",))
+        predictor = replicate(predictor, mesh)
+        opt_state = replicate(opt_state, mesh)
+        print(f"Data-parallel mesh over {jax.device_count()} devices")
+
     rng = jax.random.key(seed + 1)
     step_cache: dict = {}
     best_loss = float("inf")
+    start_epoch = 0
     avg_train_loss = avg_val_loss = float("nan")
+
+    resume_dir = getattr(args, "resume", None)
+    if resume_dir:
+        log_folder = resume_dir  # keep writing into the resumed run dir
+        state_path = osp.join(resume_dir, "train_state.msgpack")
+        predictor, opt_state, start_epoch, best_loss = load_train_state(
+            state_path, predictor, opt_state)
+        with open(osp.join(resume_dir, "log.json")) as f:
+            prev = json.load(f)
+        for key in ("epoch", "train_loss", "val_loss", "time", "learning_rate_history"):
+            log_dict[key] = prev.get(key, [])[:start_epoch]
+        for key in log_dict["physics_metrics"]:
+            log_dict["physics_metrics"][key] = \
+                prev.get("physics_metrics", {}).get(key, [])[:start_epoch]
+        print(f"Resumed from {state_path} at epoch {start_epoch} "
+              f"(best val loss {best_loss:.6f})")
 
     model_path = osp.join(log_folder, "model.msgpack")
     best_model_path = osp.join(log_folder, "best_model.msgpack")
     log_path = osp.join(log_folder, "log.json")
 
-    for epoch in range(td["num_epochs"]):
+    for epoch in range(start_epoch, td["num_epochs"]):
         current_lr = learning_rate * (
             td["scheduler"]["gamma"] ** epoch if td["scheduler"]["flag"] else 1.0)
         opt_state.hyperparams["learning_rate"] = current_lr
@@ -119,6 +151,7 @@ def train(
                 weight_u=td["weight_u"], weight_v=td["weight_v"], weight_w=td["weight_w"],
                 velocity_loss_primary=td["velocity_loss_primary"],
                 _step_cache=step_cache,
+                mesh=mesh,
             )
         finally:
             if profile_ctx is not None:
@@ -143,6 +176,8 @@ def train(
         if avg_val_loss < best_loss:
             save_predictor(predictor, best_model_path)
             best_loss = avg_val_loss
+        save_train_state(osp.join(log_folder, "train_state.msgpack"),
+                         predictor, opt_state, epoch, best_loss)
         with open(log_path, "w") as f:
             json.dump(log_dict, f, indent=4)
 

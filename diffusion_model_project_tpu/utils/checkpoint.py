@@ -283,6 +283,46 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
     raise FileNotFoundError(f"No model weights found in {folder}")
 
 
+def save_train_state(path: str, predictor, opt_state, epoch: int, best_loss: float) -> None:
+    """Full training-state checkpoint (weights + optimizer + progress) for
+    step-level resume — the reference never saves optimizer state
+    (SURVEY.md §5: 'resume means reload weights, restart optimizer')."""
+    from flax import serialization
+
+    state = {
+        "predictor": predictor_state(predictor),
+        "opt_state": serialization.to_state_dict(opt_state),
+        "epoch": np.int64(epoch),
+        "best_loss": np.float64(best_loss),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, state)))
+    import os
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, predictor, opt_state):
+    """Restore (predictor, opt_state, next_epoch, best_loss) from a
+    train_state.msgpack written by save_train_state."""
+    from flax import serialization
+    from ..ops.normalizer import MaxNormalizer
+
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    ps = state["predictor"]
+    predictor = dataclasses.replace(
+        predictor,
+        unet_params=ps["unet_params"],
+        vae_params=ps["vae_params"],
+        norm_input=MaxNormalizer(ps["norm_input"]),
+        norm_output=MaxNormalizer(ps["norm_output"]),
+    )
+    opt_state = serialization.from_state_dict(opt_state, state["opt_state"])
+    return predictor, opt_state, int(state["epoch"]) + 1, float(state["best_loss"])
+
+
 def retrieve_model_path(directory_or_url: str, filename: str = "model.pt") -> str:
     """Resolve a local dir or URL to a weights file path, downloading +
     unzipping from Zenodo when given a URL (reference helper.py:563-590)."""

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Capture a jax.profiler trace of the first epoch into this dir.")
     group_train.add_argument("--debug-nans", type=str_to_bool, default=False,
                              help="Enable jax_debug_nans (traps NaN/Inf at the producing op).")
+    group_train.add_argument("--resume", type=str, default=None,
+                             help="Resume training from this run dir's train_state.msgpack "
+                                  "(full state incl. optimizer; the reference only ever "
+                                  "reloads weights).")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)
