@@ -78,6 +78,22 @@ class LatentDiffusionPredictor:
     def with_compute_dtype(self, dtype: str) -> "LatentDiffusionPredictor":
         return dataclasses.replace(self, compute_dtype=str(jnp.dtype(dtype)))
 
+    # convenience constructors mirroring the reference classmethod surface
+    # (predictor.py:222-292)
+    @classmethod
+    def from_directory(cls, folder: str, **kwargs):
+        from ..utils.checkpoint import predictor_from_directory
+
+        predictor, _ = predictor_from_directory(folder, **kwargs)
+        return predictor
+
+    @classmethod
+    def from_directory_or_url(cls, directory_or_url: str, **kwargs):
+        from ..utils.checkpoint import predictor_from_directory_or_url
+
+        predictor, _ = predictor_from_directory_or_url(directory_or_url, **kwargs)
+        return predictor
+
     # ---------------------------------------------------------------- setup
 
     @classmethod

@@ -88,6 +88,11 @@ def train(
         norm_file=osp.join(root_dir, "statistics.json"),
         rng=jax.random.key(seed), image_hw=image_hw,
     )
+    compute_dtype = getattr(args, "compute_dtype", "float32")
+    if compute_dtype != "float32":
+        predictor = predictor.with_compute_dtype(compute_dtype)
+        print(f"Network compute dtype: {compute_dtype}")
+
     optimizer = make_optimizer(learning_rate, td["weight_decay"])
     opt_state = optimizer.init(predictor.unet_params)
 

@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Resume training from this run dir's train_state.msgpack "
                                   "(full state incl. optimizer; the reference only ever "
                                   "reloads weights).")
+    group_train.add_argument("--compute-dtype", type=str, default="float32",
+                             choices=["float32", "bfloat16"],
+                             help="Network compute dtype (scheduler/normalization stay f32).")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)
