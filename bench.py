@@ -13,6 +13,10 @@ vs_baseline: the reference publishes no samples/sec (BASELINE.md). R is
 measured throughput divided by an ESTIMATED reference A100 throughput derived
 from the compiled FLOP count at 35% assumed A100 TF32 utilization (~55 TFLOP/s
 effective) — the north-star target is R >= 10.
+
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_DTYPE, BENCH_PALLAS;
+BENCH_MODE=train reports diffusion training-step throughput instead
+(volumes/s through the jitted Adam step at grid-search dry-run scale).
 """
 import json
 import os
@@ -45,7 +49,49 @@ _PUBLISHED_UNET = dict(
 REF_A100_VOLUMES_PER_SEC = 1.8
 
 
+def bench_train():
+    """Training-step throughput (published UNet config, 128^2 dry-run scale)."""
+    import jax.numpy as jnp
+    import optax
+
+    from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+    b, s, h, w = 2, 11, 128, 128
+    pred = LatentDiffusionPredictor.create(
+        dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=s,
+        num_timesteps=1000, distance_transform=True, image_hw=(h, w),
+    ).with_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(pred.unet_params)
+    step = jax.jit(make_diffusion_train_step(optimizer))
+
+    r = np.random.default_rng(0)
+    img = (r.random((b, s, 1, h, w)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    batch = {
+        "img": jnp.asarray(img),
+        "U_2d": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
+        "U": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
+    }
+    pred, opt_state, aux = step(pred, opt_state, batch, jax.random.key(1))
+    jax.block_until_ready(aux)
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        pred, opt_state, aux = step(pred, opt_state, batch, jax.random.key(i))
+    jax.block_until_ready(aux)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "train_volumes_per_sec_per_chip",
+        "value": round(b * n_iters / dt, 3),
+        "unit": "volumes/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "infer") == "train":
+        return bench_train()
     pred = LatentDiffusionPredictor.create(
         dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=S,
         num_timesteps=1000, distance_transform=True, image_hw=(H, W),

@@ -37,12 +37,21 @@ def _load_pt(path: str) -> np.ndarray:
 
 def _rotate_y_field(x: np.ndarray) -> np.ndarray:
     """Rotate fields of y-direction simulations into the x convention:
-    rot90 + (u,v) channel swap + new-vy sign flip (reference dataset.py:440-460)."""
-    num_channels = x.shape[1]
+    rot90 + (u,v) channel swap + new-vy sign flip (reference dataset.py:440-460).
+
+    Handles both 4-D (N, C, H, W) and 5-D (N, S, C, H, W) layouts — the
+    channel axis is 2 for 5-D use_3d data (the reference's 4-value unpack
+    crashes on 5-D inputs)."""
+    ch_axis = 2 if x.ndim == 5 else 1
+    num_channels = x.shape[ch_axis]
     x = np.rot90(x, k=1, axes=(-2, -1)).copy()
     if num_channels != 1:
-        x = x[:, [1, 0, 2]]
-        x[:, 1] = -x[:, 1]
+        if x.ndim == 5:
+            x = x[:, :, [1, 0, 2]]
+            x[:, :, 1] = -x[:, :, 1]
+        else:
+            x = x[:, [1, 0, 2]]
+            x[:, 1] = -x[:, 1]
     return x
 
 

@@ -64,6 +64,11 @@ class LatentDiffusionPredictor:
     # ~1e-2 relative network-output error (well inside the 1e-3 MSE parity
     # budget after denormalization) for MXU throughput.
     compute_dtype: str = "float32"
+    # depth downsampling factor of the VAE (latent_depth = num_slices //
+    # vae_depth_factor). The published architecture preserves depth (factor 1);
+    # the reference probes this dynamically (predictor.py:652-662) and resizes
+    # back with trilinear interpolation when it differs (predictor.py:878-884).
+    vae_depth_factor: int = 1
     # leaves
     unet_params: dict = None
     vae_params: dict = None
@@ -175,7 +180,7 @@ class LatentDiffusionPredictor:
         z_cond (B*S, lh, lw, latent), m_cond (B*S, lh, lw, 1)."""
         b, s = img.shape[0], velocity_2d.shape[1]
         h, w = img.shape[-2], img.shape[-1]
-        lh, lw, ld = h // 4, w // 4, s  # encoder preserves depth
+        lh, lw, ld = h // 4, w // 4, s // self.vae_depth_factor
 
         # --- E2D conditioning latent (deterministic mu) ---
         v2d_cl = _cf_to_cl(velocity_2d)                       # (B,S,H,W,3)
@@ -290,7 +295,7 @@ class LatentDiffusionPredictor:
         """Full DDPM reverse process fused into one lax.scan
         (reference predict(): predictor.py:754-896, clip +/-30)."""
         b, s = img.shape[0], velocity_2d.shape[1]
-        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s
+        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
         shape = (b * ld, lh, lw, self.latent_channels)
         x = self._init_latent_noise(shape, noise, rng)
@@ -332,7 +337,7 @@ class LatentDiffusionPredictor:
         """N-step DDIM sampling fused into one lax.scan
         (reference predict_ddim(): predictor.py:898-1023)."""
         b, s = img.shape[0], velocity_2d.shape[1]
-        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s
+        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
         shape = (b * ld, lh, lw, self.latent_channels)
         x = self._init_latent_noise(shape, noise, rng)
@@ -362,7 +367,7 @@ class LatentDiffusionPredictor:
 
     _LEAF_FIELDS = ("unet_params", "vae_params", "scheduler", "norm_input", "norm_output")
     _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps",
-                   "distance_transform", "compute_dtype")
+                   "distance_transform", "compute_dtype", "vae_depth_factor")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._LEAF_FIELDS)

@@ -231,9 +231,18 @@ def reconstruct_velocity_from_noise_pred(
     x0_pred = (x_t - somac * noise_pred) / (sac + 1e-8)
 
     z = x0_pred.reshape(b, s, lh, lw, c)
-    vel = predictor.vae.apply(
-        {"params": jax.lax.stop_gradient(predictor.vae_params)}, z, method="decode_3d"
-    )  # (B, S, H, W, 3) channels-last
+
+    # rematerialize the frozen-decoder forward during backprop: at full 256^2
+    # scale its activations (~GBs at 128-512 channels) would otherwise be
+    # stored for the gradient through x0_pred — the TPU-native replacement for
+    # the reference's del/empty_cache dance (helper.py:437-446)
+    @jax.checkpoint
+    def _decode(z):
+        return predictor.vae.apply(
+            {"params": jax.lax.stop_gradient(predictor.vae_params)},
+            z, method="decode_3d")
+
+    vel = _decode(z)  # (B, S, H, W, 3) channels-last
     vel = predictor.norm_output.inverse(vel, channel_axis=-1)
     h, w = img.shape[-2], img.shape[-1]
     if vel.shape[1] != s or vel.shape[2] != h:

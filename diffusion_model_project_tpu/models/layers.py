@@ -40,6 +40,14 @@ def enable_pallas_fusion(attention: bool = True, groupnorm: bool = True) -> None
     PALLAS_GROUPNORM = groupnorm
 
 
+
+def _pet(x):
+    """preferred_element_type: request f32 output only for f32 operands.
+    For bf16 operands the TPU MXU already accumulates in f32 internally, and
+    asking for an f32 output breaks the conv/einsum VJP (cotangent dtype
+    mismatch)."""
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
 def _norm_tuple(v, n: int) -> Tuple[int, ...]:
     if isinstance(v, int):
         return (v,) * n
@@ -108,7 +116,7 @@ class Conv(nn.Module):
         out = lax.conv_general_dilated(
             x, weight.astype(x.dtype), strides, pad_cfg,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pet(x),
         ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -133,7 +141,7 @@ class Conv(nn.Module):
             xs = x[:, k:k + d_out].reshape(b * d_out, h, w, cin)
             y = lax.conv_general_dilated(
                 xs, weight[k].astype(x.dtype), hw_strides, hw_pads,
-                dimension_numbers=dn2, preferred_element_type=jnp.float32,
+                dimension_numbers=dn2, preferred_element_type=_pet(x),
             )
             out = y if out is None else out + y
         out = out.astype(x.dtype)
@@ -162,7 +170,7 @@ class ConvTranspose2x2(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         out = jnp.einsum(
             "bhwi,iojk->bhjwko", x, weight.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pet(x),
         ).astype(x.dtype)
         out = out.reshape(b, h * 2, w * 2, self.features)
         return out + bias.astype(out.dtype)
@@ -208,7 +216,7 @@ class Dense(nn.Module):
         )
         out = jnp.einsum(
             "...i,io->...o", x, weight.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_pet(x),
         ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

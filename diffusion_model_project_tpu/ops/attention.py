@@ -42,8 +42,9 @@ def multihead_attention(
     q, k, v = heads(q), heads(k), heads(v)
     # scores in float32 for stability regardless of activation dtype
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(hd))
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32 if q.dtype == jnp.float32 else None,
+    ).astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, e)

@@ -159,7 +159,8 @@ def run_epoch(
         step = cache["train_full"] if heavy else cache["train_plain"]
         predictor, opt_state, aux = step(predictor, opt_state, batch, step_rng)
         running_noise_loss += float(aux["noise_loss"])
-        running_loss += float(aux["loss"] if velocity_loss_primary else aux["noise_loss"])
+        # reference semantics: log the PRIMARY loss, excluding physics/aux terms
+        running_loss += float(aux.get("primary_loss", aux["noise_loss"]))
         if heavy:
             n_phys += 1
             for k in _PHYSICS_LOSS_KEYS:
@@ -172,6 +173,11 @@ def run_epoch(
     avg_train_loss = running_loss / max(num_train, 1)
     for k in phys_components:
         phys_components[k] /= max(1, n_phys)
+    for k in comp_metrics:
+        comp_metrics[k] /= max(1, n_phys)
+    if use_velocity and n_phys > 0:
+        print(f"  Train velocity loss components: u={comp_metrics['loss_u']:.6f}, "
+              f"v={comp_metrics['loss_v']:.6f}, w={comp_metrics['loss_w']:.6f}")
 
     # ---- validation set ---------------------------------------------------
     val_loss = 0.0
@@ -195,4 +201,6 @@ def run_epoch(
         acc = {k: v / val_phys_count for k, v in acc.items()}
 
     all_metrics = {**acc, **{f"loss_{k}": v for k, v in phys_components.items()}}
+    if use_velocity:
+        all_metrics.update(comp_metrics)
     return predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics

@@ -81,6 +81,9 @@ def diffusion_loss_fn(
     else:
         loss = cost(_cl_to_cf(eps_pred), _cl_to_cf(noise))
         aux["noise_loss"] = jax.lax.stop_gradient(loss)
+    # the primary loss BEFORE physics/aux terms — what the reference logs as
+    # running_loss (helper.py:432-433)
+    aux["primary_loss"] = jax.lax.stop_gradient(loss)
 
     if physics is not None and physics.is_active():
         phys_total, comps = physics(vel_pred, batch["img"])

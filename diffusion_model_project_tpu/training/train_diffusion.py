@@ -77,7 +77,9 @@ def train(
         "learning_rate_history": [],
         "physics_metrics": {k: [] for k in _PHYSICS_LOG_KEYS},
     }
-    log_folder = make_log_folder(param_dict)
+    # resumed runs keep writing into their original dir; don't create a new one
+    log_folder = (getattr(args, "resume", None)
+                  or make_log_folder(param_dict))
 
     root_dir = param_dict["dataset"]["root_dir"]
     td = param_dict["training"]
@@ -113,7 +115,6 @@ def train(
 
     resume_dir = getattr(args, "resume", None)
     if resume_dir:
-        log_folder = resume_dir  # keep writing into the resumed run dir
         state_path = osp.join(resume_dir, "train_state.msgpack")
         predictor, opt_state, start_epoch, best_loss = load_train_state(
             state_path, predictor, opt_state)

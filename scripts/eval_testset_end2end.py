@@ -131,7 +131,7 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
     # jitted pipelines (compiled once, reused across samples)
     if sanity_mode:
         @jax.jit
-        def predict_fn(pred, img, v2d, target, noise):
+        def predict_fn(pred, img, v2d, target, noise, rng):
             v_cl = jnp.moveaxis(target, 2, -1)
             v_norm = pred.norm_output.normalize(v_cl, channel_axis=-1)
             mu, _ = pred.vae.apply({"params": pred.vae_params}, v_norm,
@@ -141,12 +141,15 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             return jnp.moveaxis(recon, -1, 2) * img
     elif sampler == "ddim":
         @jax.jit
-        def predict_fn(pred, img, v2d, target, noise):
-            return pred.predict_ddim(img, v2d, num_steps=num_steps, eta=0.0, noise=noise)
+        def predict_fn(pred, img, v2d, target, noise, rng):
+            return pred.predict_ddim(img, v2d, num_steps=num_steps, eta=0.0,
+                                     noise=noise, rng=rng)
     else:
         @jax.jit
-        def predict_fn(pred, img, v2d, target, noise):
-            return pred.predict(img, v2d, noise=noise)
+        def predict_fn(pred, img, v2d, target, noise, rng):
+            # rng drives the per-step ancestral noise; without it every
+            # sample would reuse the same DDPM noise stream
+            return pred.predict(img, v2d, noise=noise, rng=rng)
 
     start_time = time.time()
     for eval_idx, sample_idx in enumerate(sample_indices):
@@ -166,7 +169,8 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
                 (s, predictor.latent_channels, lh, lw))
 
         prediction = np.asarray(jax.block_until_ready(
-            predict_fn(predictor, img, velocity_2d, target, noise)))
+            predict_fn(predictor, img, velocity_2d, target, noise,
+                       jax.random.key(seed + sample_idx))))
         sample_time = time.time() - sample_start
 
         assert prediction.shape == target.shape, \

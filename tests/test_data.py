@@ -130,6 +130,48 @@ def test_augmentation_sign_flips(synthetic_root):
             np.sort(np.abs(ref["velocity"]).ravel()), rtol=1e-6)
 
 
+def test_rotate_y_field_5d(synthetic_root):
+    """y-direction data in the 5-D use_3d layout: rotation must act on the
+    CHANNEL axis (2), not the slice axis (the reference crashes on 5-D)."""
+    from diffusion_model_project_tpu.data.dataset import _rotate_y_field
+
+    r = np.random.default_rng(1)
+    vel = r.standard_normal((2, 5, 3, 8, 8)).astype(np.float32)  # (N,S,C,H,W)
+    out = _rotate_y_field(vel)
+    assert out.shape == (2, 5, 3, 8, 8)
+    rot = np.rot90(vel, k=1, axes=(-2, -1))
+    np.testing.assert_allclose(out[:, :, 0], rot[:, :, 1])   # new u = old v
+    np.testing.assert_allclose(out[:, :, 1], -rot[:, :, 0])  # new v = -old u
+    np.testing.assert_allclose(out[:, :, 2], rot[:, :, 2])   # w unchanged
+
+    # 1-channel 5-D field (microstructure): rotate only
+    micro = r.standard_normal((2, 5, 1, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(_rotate_y_field(micro),
+                               np.rot90(micro, k=1, axes=(-2, -1)))
+
+    # 4-D field still matches the reference behavior
+    vel4 = r.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    out4 = _rotate_y_field(vel4)
+    rot4 = np.rot90(vel4, k=1, axes=(-2, -1))
+    np.testing.assert_allclose(out4[:, 0], rot4[:, 1])
+    np.testing.assert_allclose(out4[:, 1], -rot4[:, 0])
+
+
+def test_loader_with_y_direction_data(synthetic_root):
+    """A y/ directory is rotated + concatenated onto the x data."""
+    import shutil
+    y = synthetic_root / "y"
+    if y.exists():
+        shutil.rmtree(y)
+    shutil.copytree(synthetic_root / "x", y)
+    try:
+        ds = MicroFlowDataset(str(synthetic_root), use_3d=True)
+        assert len(ds) == 24  # 12 x + 12 y
+        assert np.isfinite(ds[23]["velocity"]).all()
+    finally:
+        shutil.rmtree(y)
+
+
 def test_numpy_loader_batching():
     class Tiny:
         def __len__(self):
