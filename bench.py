@@ -111,6 +111,18 @@ def main():
     img = jnp.asarray(img)
     v2d = jnp.asarray(r.standard_normal((BATCH, S, 3, H, W)).astype(np.float32))
 
+    n_chips = 1
+    if os.environ.get("BENCH_MESH", "0") == "1" and jax.device_count() > 1:
+        # shard the batch over all chips; metric stays per-chip
+        from diffusion_model_project_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(("data",))
+        n_chips = jax.device_count()
+        assert BATCH % n_chips == 0, "BENCH_BATCH must divide device count"
+        sharded = shard_batch({"img": img, "v2d": v2d}, mesh)
+        img, v2d = sharded["img"], sharded["v2d"]
+        pred = replicate(pred, mesh)
+
     @jax.jit
     def e2e(pred, img, v2d, rng):
         return pred.predict_ddim(img, v2d, num_steps=DDIM_STEPS, eta=0.0, rng=rng)
@@ -126,7 +138,7 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    volumes_per_sec = BATCH * n_iters / dt
+    volumes_per_sec = BATCH * n_iters / dt / n_chips
     print(json.dumps({
         "metric": "e2e_volumes_per_sec_per_chip",
         "value": round(volumes_per_sec, 3),
