@@ -59,6 +59,15 @@ def parse_args(argv=None):
     parser.add_argument("--noise-dir", type=str, default=None,
                         help="Directory with <sample_idx>.npy initial-noise tensors "
                              "(channels-first) for exact parity with reference runs")
+    parser.add_argument("--torch-noise", action="store_true",
+                        help="Draw the initial noise with torch.manual_seed(seed+idx) "
+                             "exactly like the reference (eval:806-810), so DDIM "
+                             "eta=0 results are directly comparable to reference "
+                             "runs on the same checkpoints")
+    parser.add_argument("--precision", type=str, default=None,
+                        choices=["default", "high", "highest"],
+                        help="jax matmul/conv precision (use 'highest' for "
+                             "numerical-fidelity runs on TPU)")
     return parser.parse_args(argv)
 
 
@@ -103,7 +112,8 @@ def load_model_and_config(args, image_hw):
 
 def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
                    num_steps=50, seed=42, sanity_mode=False, num_samples=None,
-                   single_index=None, noise_dir=None, save_npz_dir=None):
+                   single_index=None, noise_dir=None, torch_noise=False,
+                   save_npz_dir=None):
     per_sample_results = []
     sanity_stats = {k: [] for k in (
         "pred_min", "pred_max", "pred_mean", "pred_std",
@@ -163,6 +173,13 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
         lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
         if noise_dir is not None:
             noise = jnp.asarray(np.load(osp.join(noise_dir, f"{sample_idx}.npy")))
+        elif torch_noise:
+            # reference-identical stream: torch.manual_seed(seed + idx) then
+            # torch.randn (scripts/eval_testset_end2end.py:806-810)
+            import torch
+            torch.manual_seed(seed + sample_idx)
+            noise = jnp.asarray(torch.randn(
+                s, predictor.latent_channels, lh, lw).numpy())
         else:
             noise = jax.random.normal(
                 jax.random.key(seed + sample_idx),
@@ -266,6 +283,8 @@ def main(argv=None):
     if args.device:
         # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
         jax.config.update("jax_platforms", args.device)
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
     from diffusion_model_project_tpu.data import get_loader
 
     loaders = get_loader(root_dir=args.dataset_dir, batch_size=args.batch_size,
@@ -289,7 +308,8 @@ def main(argv=None):
         predictor, dataset, norm_factors,
         sampler=args.sampler, num_steps=args.steps, seed=args.seed,
         sanity_mode=args.sanity_mode, num_samples=args.num_samples,
-        single_index=args.index, noise_dir=args.noise_dir, save_npz_dir=npz_dir)
+        single_index=args.index, noise_dir=args.noise_dir,
+        torch_noise=args.torch_noise, save_npz_dir=npz_dir)
     aggregated = aggregate_results(per_sample)
 
     print("\n--- Total Metrics ---")
