@@ -232,17 +232,15 @@ def reconstruct_velocity_from_noise_pred(
 
     z = x0_pred.reshape(b, s, lh, lw, c)
 
-    # rematerialize the frozen-decoder forward during backprop: at full 256^2
-    # scale its activations (~GBs at 128-512 channels) would otherwise be
-    # stored for the gradient through x0_pred — the TPU-native replacement for
-    # the reference's del/empty_cache dance (helper.py:437-446)
-    @jax.checkpoint
-    def _decode(z):
-        return predictor.vae.apply(
-            {"params": jax.lax.stop_gradient(predictor.vae_params)},
-            z, method="decode_3d")
-
-    vel = _decode(z)  # (B, S, H, W, 3) channels-last
+    # per-block rematerialized decoder: gradients flow through the frozen D3D
+    # to x0_pred, but each residual block's activations are recomputed during
+    # backprop instead of stored (at full 256^2 scale storing them exceeds
+    # HBM) — the TPU-native replacement for the reference's del/empty_cache
+    # dance (helper.py:437-446). Same params, remat-enabled module def.
+    vae_remat = dataclasses.replace(predictor.vae, remat_decoders=True)
+    vel = vae_remat.apply(
+        {"params": jax.lax.stop_gradient(predictor.vae_params)},
+        z, method="decode_3d")  # (B, S, H, W, 3) channels-last
     vel = predictor.norm_output.inverse(vel, channel_axis=-1)
     h, w = img.shape[-2], img.shape[-1]
     if vel.shape[1] != s or vel.shape[2] != h:

@@ -108,11 +108,16 @@ class AttentionBlock(nn.Module):
 
 class Encoder(nn.Module):
     """3D conv encoder; (B, D, H, W, in_channels) -> (mu, logvar) each
-    (B, D, H/4, W/4, out_channels)."""
+    (B, D, H/4, W/4, out_channels).
+
+    ``remat``: rematerialize residual blocks during backprop (training at the
+    full 256^2 resolution exceeds HBM otherwise; param structure unchanged).
+    """
 
     out_channels: int
     kernel_size: int = 3
     conditional: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -120,8 +125,10 @@ class Encoder(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pad = get_padding(self.kernel_size)
         cond = condition if self.conditional else None
-        Res = (lambda ch, name: ConditionalResidualBlock(ch, name=name)) if self.conditional \
-            else (lambda ch, name: ResidualBlock(ch, name=name))
+        res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
+        if self.remat:
+            res_cls = nn.remat(res_cls)
+        Res = lambda ch, name: res_cls(ch, name=name)
 
         def res(block, h):
             return block(h, cond) if self.conditional else block(h)
@@ -148,11 +155,18 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
-    """3D conv decoder; (B, D, H/4, W/4, latent) -> (B, D, H, W, out_channels)."""
+    """3D conv decoder; (B, D, H/4, W/4, latent) -> (B, D, H, W, out_channels).
+
+    ``remat``: rematerialize each residual block during backprop (param
+    structure unchanged) — needed when differentiating THROUGH the decoder at
+    full 256^2 scale (physics losses), where stored block activations would
+    exceed HBM.
+    """
 
     out_channels: int = 3
     kernel_size: int = 3
     conditional: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -160,8 +174,10 @@ class Decoder(nn.Module):
     ) -> jnp.ndarray:
         pad = get_padding(self.kernel_size)
         cond = condition if self.conditional else None
-        Res = (lambda ch, name: ConditionalResidualBlock(ch, name=name)) if self.conditional \
-            else (lambda ch, name: ResidualBlock(ch, name=name))
+        res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
+        if self.remat:
+            res_cls = nn.remat(res_cls)
+        Res = lambda ch, name: res_cls(ch, name=name)
 
         def res(block, h):
             return block(h, cond) if self.conditional else block(h)
@@ -241,17 +257,23 @@ class DualBranchVAE(nn.Module):
     kernel_size: int = 3
     share_encoders: bool = False
     share_decoders: bool = False
+    remat_decoders: bool = False  # per-block remat (see Decoder.remat)
+    remat_encoders: bool = False  # per-block remat (see Encoder.remat)
 
     def setup(self):
-        self.encoder_2d = Encoder(self.latent_channels, self.kernel_size, name="encoder_2d")
-        self.decoder_2d = Decoder(self.in_channels, self.kernel_size, name="decoder_2d")
+        self.encoder_2d = Encoder(self.latent_channels, self.kernel_size,
+                                  remat=self.remat_encoders, name="encoder_2d")
+        self.decoder_2d = Decoder(self.in_channels, self.kernel_size,
+                                  remat=self.remat_decoders, name="decoder_2d")
         self.encoder_3d = (
             self.encoder_2d if self.share_encoders
-            else Encoder(self.latent_channels, self.kernel_size, name="encoder_3d")
+            else Encoder(self.latent_channels, self.kernel_size,
+                         remat=self.remat_encoders, name="encoder_3d")
         )
         self.decoder_3d = (
             self.decoder_2d if self.share_decoders
-            else Decoder(self.in_channels, self.kernel_size, name="decoder_3d")
+            else Decoder(self.in_channels, self.kernel_size,
+                         remat=self.remat_decoders, name="decoder_3d")
         )
 
     # --- stochastic encodes (flax 'sample' RNG stream) ---------------------

@@ -102,11 +102,14 @@ def norm_factors_from_stats(stats: dict, norm_mode: str = "max") -> np.ndarray:
 
 
 class Stage1VAE:
-    """Functional E3D+D3D pair with reference-compatible param naming."""
+    """Functional E3D+D3D pair with reference-compatible param naming.
 
-    def __init__(self, in_channels=3, latent_channels=8):
-        self.encoder = Encoder(out_channels=latent_channels)
-        self.decoder = Decoder(out_channels=in_channels)
+    Blocks are rematerialized during backprop: full-scale 256^2x11 training
+    needs ~29 GB of stored activations otherwise (v5e has 15.75 GB)."""
+
+    def __init__(self, in_channels=3, latent_channels=8, remat=True):
+        self.encoder = Encoder(out_channels=latent_channels, remat=remat)
+        self.decoder = Decoder(out_channels=in_channels, remat=remat)
         self.latent_channels = latent_channels
 
     def init(self, rng, sample_shape):

@@ -219,8 +219,12 @@ def main(argv=None):
     norm_factors = norm_factors_from_stats(statistics, args.norm_mode)
     nf = norm_factors.reshape(1, 3, 1, 1, 1)
 
+    # remat: stage-2 differentiates through E2D, D2D AND the frozen D3D at
+    # full 256^2 resolution — without per-block rematerialization the stored
+    # activations exceed HBM
     vae = DualBranchVAE(in_channels=args.in_channels,
-                        latent_channels=args.latent_channels)
+                        latent_channels=args.latent_channels,
+                        remat_encoders=True, remat_decoders=True)
     sample0 = base[0]
     c, d, h, w = sample0["velocity"].shape
     dummy = jnp.zeros((1, d, h, w, c), jnp.float32)
