@@ -71,6 +71,21 @@ def set_model(type: str, kwargs: dict, norm_file: str, *, rng=None, image_hw=(25
     return predictor.set_normalizer(norm_params)
 
 
+def get_model(type: str, kwargs: dict, model_path: str, *, image_hw=(256, 256)):
+    """Build a predictor and load weights from a file path
+    (reference helper.py:125-148). Accepts native .msgpack or reference .pt."""
+    from ..utils.checkpoint import (
+        build_predictor, load_diffusion_torch_checkpoint, load_predictor_state)
+
+    if type != "latent-diffusion":
+        raise ValueError(f"Unknown model type: {type}")
+    predictor, _ = build_predictor(kwargs, image_hw=image_hw)
+    if model_path.endswith(".msgpack"):
+        return load_predictor_state(predictor, model_path)
+    num_levels = len(kwargs["model_kwargs"]["features"])
+    return load_diffusion_torch_checkpoint(predictor, model_path, num_levels)
+
+
 def select_input_output(data: Dict[str, np.ndarray], option: str = "latent-diffusion"):
     if option != "latent-diffusion":
         raise ValueError(f"Unknown option: {option}")

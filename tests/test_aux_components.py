@@ -121,6 +121,35 @@ def test_benchmark_loader_and_resize(tmp_path):
     assert resized.shape == (3, 1, 40, 48)
 
 
+def test_get_model_loads_native_weights(tmp_path):
+    import jax
+    from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+    from diffusion_model_project_tpu.training.helper import get_model
+    from diffusion_model_project_tpu.utils.checkpoint import save_predictor
+
+    kw = dict(model_name="UNet",
+              model_kwargs=dict(in_channels=9, out_channels=4, features=[8, 16],
+                                kernel_size=3, padding_mode="zeros",
+                                activation="silu", final_activation=None,
+                                attention="", dropout=0.0, time_embedding_dim=16),
+              distance_transform=True, vae_path=None,
+              vae_encoder_path=None, vae_decoder_path=None,
+              num_slices=3, num_timesteps=20)
+    pred = LatentDiffusionPredictor.create(
+        dict(kw["model_kwargs"]), rng=jax.random.key(0), num_slices=3,
+        num_timesteps=20, image_hw=(32, 32))
+    pred = pred.set_normalizer({"output": [2.0, 3.0, 4.0]})
+    path = str(tmp_path / "model.msgpack")
+    save_predictor(pred, path)
+    loaded = get_model("latent-diffusion", kw, path, image_hw=(32, 32))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.norm_output.scale_factors), [2.0, 3.0, 4.0])
+    import jax as _jax
+    for a, b in zip(_jax.tree_util.tree_leaves(pred.unet_params),
+                    _jax.tree_util.tree_leaves(loaded.unet_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_retrieve_model_path_local(tmp_path):
     from diffusion_model_project_tpu.utils.checkpoint import retrieve_model_path
     assert retrieve_model_path(str(tmp_path)) == osp.join(str(tmp_path), "model.pt")
