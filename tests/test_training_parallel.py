@@ -154,8 +154,11 @@ def test_graft_entry_dryrun():
     dryrun_multichip(8)
 
 
-def test_graft_entry_single_chip_compiles():
+def test_graft_entry_single_chip_traces():
     from __graft_entry__ import entry
     fn, args = entry()
-    # compile-check only (lower+compile on CPU); avoids running the big forward
-    jax.jit(fn).lower(*args).compile()
+    # trace-check (shape flow through the full published-config forward); the
+    # driver does the actual on-device compile of entry(), and compiling the
+    # 139M-param UNet on CPU here costs ~5 min of suite time
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (11, 32, 32, 8)
