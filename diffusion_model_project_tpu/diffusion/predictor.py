@@ -290,10 +290,18 @@ class LatentDiffusionPredictor:
         velocity_2d: jnp.ndarray,
         *,
         noise: Optional[jnp.ndarray] = None,
+        step_noise: Optional[jnp.ndarray] = None,
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Full DDPM reverse process fused into one lax.scan
-        (reference predict(): predictor.py:754-896, clip +/-30)."""
+        (reference predict(): predictor.py:754-896, clip +/-30).
+
+        ``step_noise``: optional deterministic per-step ancestral noise table,
+        channels-first (T, B*latent_depth, C, lh, lw); index i is the noise for
+        the i-th step taken (t = T-1-i), matching the reference's
+        ``torch.randn_like`` draw order inside p_sample (diffusion.py:175).
+        Enables exact numerical comparison of the full ancestral loop.
+        """
         b, s = img.shape[0], velocity_2d.shape[1]
         lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
@@ -310,18 +318,29 @@ class LatentDiffusionPredictor:
             x = jnp.clip(x, -30.0, 30.0)
             return self._decode_and_finish(x, img, b, ld, lh, lw)
 
-        def step(x, t):
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        if step_noise is not None:
+            n = b * ld
+            table = step_noise.reshape(
+                self.num_timesteps, n, self.latent_channels, lh, lw)
+            table = jnp.moveaxis(table, 2, -1)  # (T, N, lh, lw, C)
+            xs = (ts, table)
+        else:
+            xs = (ts, None)
+
+        def step(x, xs_i):
+            t, given = xs_i
             t_batch = jnp.full((b * ld,), t, jnp.int32)
             eps = self._unet_eps(x, z_cond, m_cond, t_batch)
-            step_noise = jax.random.normal(jax.random.fold_in(step_rng, t), x.shape, x.dtype)
+            anc_noise = given if given is not None else jax.random.normal(
+                jax.random.fold_in(step_rng, t), x.shape, x.dtype)
             x = self.scheduler.p_sample(
-                eps, x, t_batch, noise=step_noise,
+                eps, x, t_batch, noise=anc_noise,
                 clip_denoised=True, clip_range=(-30.0, 30.0),
             )
             return x, None
 
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        x, _ = jax.lax.scan(step, x, ts)
+        x, _ = jax.lax.scan(step, x, xs)
         return self._decode_and_finish(x, img, b, ld, lh, lw)
 
     def predict_ddim(

@@ -126,7 +126,7 @@ def test_training_forward_parity(ref_pred, our_pred, sample):
     np.testing.assert_allclose(eps_ours, eps_ref.numpy(), rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("num_steps", [1, 5])
+@pytest.mark.parametrize("num_steps", [1, 5, 50])
 def test_predict_ddim_end_to_end_parity(ref_pred, our_pred, sample, num_steps):
     img, v2d = sample
     r = np.random.default_rng(13)
@@ -144,6 +144,46 @@ def test_predict_ddim_end_to_end_parity(ref_pred, our_pred, sample, num_steps):
     ))
     mse = float(np.mean((ours - theirs) ** 2))
     assert mse <= 1e-3, f"end-to-end MSE {mse} above north-star threshold"
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
+
+
+def test_predict_ddpm_full_loop_parity(ref_pred, our_pred, sample, monkeypatch):
+    """Full T-step ancestral loop vs the reference predict().
+
+    The reference draws ancestral noise inside scheduler.p_sample via
+    torch.randn_like (diffusion.py:175); record those draws and feed the same
+    table through our scan's ``step_noise`` hook so the stochastic loop is
+    numerically comparable end-to-end.
+    """
+    img, v2d = sample
+    r = np.random.default_rng(21)
+    init = r.standard_normal((S, LATENT, H // 4, W // 4)).astype(np.float32)
+
+    recorded = []
+    orig_randn_like = torch.randn_like
+
+    def recording_randn_like(x, *a, **k):
+        n = orig_randn_like(x, *a, **k)
+        recorded.append(n.detach().numpy().copy())
+        return n
+
+    monkeypatch.setattr(torch, "randn_like", recording_randn_like)
+    torch.manual_seed(123)
+    with torch.no_grad():
+        theirs = ref_pred.predict(
+            torch.from_numpy(img), torch.from_numpy(v2d),
+            noise=torch.from_numpy(init),
+        ).numpy()
+    monkeypatch.undo()
+    assert len(recorded) == T, f"expected {T} ancestral draws, saw {len(recorded)}"
+    table = np.stack(recorded)  # (T, S, LATENT, lh, lw), draw order t=T-1..0
+
+    ours = np.asarray(our_pred.predict(
+        jnp.asarray(img), jnp.asarray(v2d), noise=jnp.asarray(init),
+        step_noise=jnp.asarray(table),
+    ))
+    mse = float(np.mean((ours - theirs) ** 2))
+    assert mse <= 1e-3, f"DDPM full-loop MSE {mse} above north-star threshold"
     np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
 
 
