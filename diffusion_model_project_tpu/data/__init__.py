@@ -7,4 +7,11 @@ from .split import (
     load_split,
     save_split,
 )
-from .dataset import MicroFlowDataset, MicroFlowDatasetVAE, BlindDataset, get_loader
+from .dataset import (
+    MicroFlowDataset,
+    MicroFlowDatasetVAE,
+    MicroFlowDatasetVAEPaired,
+    DatasetTransform,
+    BlindDataset,
+    get_loader,
+)

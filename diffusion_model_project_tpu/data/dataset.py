@@ -292,6 +292,144 @@ class MicroFlowDatasetVAE:
         return sample
 
 
+class MicroFlowDatasetVAEPaired:
+    """Legacy paired VAE view: one item per microstructure carrying BOTH the
+    2D input and 3D target fields, layout (C, D, H, W)
+    (reference VAE_model/utils/dataset.py:16-282). Superseded in the final
+    pipeline by MicroFlowDatasetVAE's doubled index space, but part of the
+    reference's public data surface."""
+
+    def __init__(self, root_dir: str, augment: bool = False,
+                 data: Optional[Dict[str, np.ndarray]] = None,
+                 save_stats: bool = False):
+        base = MicroFlowDataset(root_dir, augment=False, use_3d=True, data=data)
+        self.data = base.data
+        self.root_dir = root_dir
+        self.augment = augment  # reference's augment path is a no-op stub
+        if save_stats:
+            self._save_statistics()
+
+    def __len__(self) -> int:
+        return self.data["microstructure"].shape[0]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        def cdhw(key):  # (D, C, H, W) -> (C, D, H, W), float32
+            return np.transpose(self.data[key][idx], (1, 0, 2, 3)).astype(np.float32)
+
+        return {
+            "microstructure": cdhw("microstructure"),
+            "velocity_input": cdhw("velocity_input"),
+            "velocity": cdhw("velocity"),
+            "pressure": cdhw("pressure"),
+            "dxyz": self.data["dxyz"][idx].astype(np.float32),
+            "permeability": (self.data["permeability"][idx]
+                             if "permeability" in self.data
+                             else np.float32(0.0)),
+        }
+
+    def _save_statistics(self) -> None:
+        """VAE-flavor statistics.json: global + per-component maxima with
+        FLUID-MASKED per-component means (reference VAE dataset.py:186-260)."""
+        velocity = self.data.get("velocity")
+        velocity_input = self.data.get("velocity_input")
+        micro = self.data.get("microstructure")
+        stats: Dict = {
+            "U_2d": {"max": float(np.abs(velocity_input).max())
+                     if velocity_input is not None and velocity_input.size else 0.0},
+            "U": {"max": float(np.abs(velocity).max())
+                  if velocity is not None and velocity.size else 0.0},
+            "p": {"max": float(np.abs(self.data.get("pressure", np.float32(0.0))).max())},
+            "dxyz": {"max": float(np.abs(self.data.get("dxyz", np.float32(0.0))).max())},
+        }
+
+        def per_component(vel, section):
+            out = {
+                "max_u": float(np.abs(vel[:, :, 0]).max()),
+                "max_v": float(np.abs(vel[:, :, 1]).max()),
+                "max_w": float(np.abs(vel[:, :, 2]).max()),
+            }
+            if micro is not None:
+                # mean of |v| over fluid voxels only (mask=1), per component
+                m = np.broadcast_to(micro, vel.shape)
+                for i, comp in enumerate("uvw"):
+                    masked = np.abs(vel[:, :, i] * m[:, :, i])
+                    out[f"mean_{comp}"] = float(masked.sum() / m[:, :, i].sum())
+            else:
+                for i, comp in enumerate("uvw"):
+                    out[f"mean_{comp}"] = float(np.abs(vel[:, :, i]).mean())
+            stats[section] = out
+
+        if velocity is not None and velocity.size and velocity.ndim >= 3:
+            per_component(velocity, "U_per_component")
+        if velocity_input is not None and velocity_input.size and velocity_input.ndim >= 3:
+            per_component(velocity_input, "U_2d_per_component")
+        with open(osp.join(self.root_dir, "statistics.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+
+
+class DatasetTransform:
+    """Legacy global max-normalizer for velocity/pressure/dxyz
+    (reference VAE_model/utils/dataset.py:505-638). Init from a dataset dir
+    (computes + writes U/p/d maxima to statistics.json) or from a
+    statistics dict."""
+
+    def __init__(self, input_var) -> None:
+        if isinstance(input_var, str):
+            root_dir = input_var
+            target_U = _load_pt(osp.join(root_dir, "x", "U.pt"))
+            target_p = _load_pt(osp.join(root_dir, "x", "p.pt"))
+            dxyz = _load_pt(osp.join(root_dir, "x", "dxyz.pt"))
+            # reference quirk: U uses abs().max(), p and d use plain max()
+            self._max_U = float(np.abs(target_U).max())
+            self._max_p = float(target_p.max())
+            self._max_d = float(dxyz.max())
+            self._params = {
+                "U": {"max": self._max_U},
+                "p": {"max": self._max_p},
+                "d": {"max": self._max_d},
+            }
+            with open(osp.join(root_dir, "statistics.json"), "w") as f:
+                json.dump(self._params, f, indent=0)
+        elif isinstance(input_var, dict):
+            self._params = input_var
+            self._max_U = self._params["U"]["max"]
+            self._max_p = self._params["p"]["max"]
+            self._max_d = self._params["d"]["max"]
+        else:
+            raise TypeError(f"Unsupported input_var type: {type(input_var)}")
+        print(f"Statistics: {self._params}")
+
+    def __call__(self, data: Dict) -> Dict:
+        data["velocity"] = self.transform_U(data["velocity"])
+        data["pressure"] = self.transform_p(data["pressure"])
+        data["dxyz"] = self.transform_d(data["dxyz"])
+        return data
+
+    def inverse_transform(self, data: Dict) -> Dict:
+        data["velocity"] = self.inverse_transform_U(data["velocity"])
+        data["pressure"] = self.inverse_transform_p(data["pressure"])
+        data["dxyz"] = self.inverse_transform_d(data["dxyz"])
+        return data
+
+    def transform_U(self, data):
+        return data / self._max_U
+
+    def transform_p(self, data):
+        return data / self._max_p
+
+    def transform_d(self, data):
+        return data / self._max_d
+
+    def inverse_transform_U(self, data):
+        return data * self._max_U
+
+    def inverse_transform_p(self, data):
+        return data * self._max_p
+
+    def inverse_transform_d(self, data):
+        return data * self._max_d
+
+
 class BlindDataset:
     """Prediction-only dataset (no targets) (reference dataset.py:463-493)."""
 

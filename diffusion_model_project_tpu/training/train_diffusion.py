@@ -218,13 +218,59 @@ class TrialPruned(Exception):
     pass
 
 
-def optimize(args, get_loader_fn, n_trials: Optional[int] = None):
+class MedianPruner:
+    """Optuna MedianPruner semantics — the default pruner of the reference's
+    `optuna.create_study` (train.py:385-390), exercised via trial.report /
+    should_prune (train.py:230-235).
+
+    A trial is pruned at epoch e when its best intermediate value so far is
+    strictly worse (minimize: greater) than the median of the completed
+    trials' intermediate values at epoch e. Pruning is disabled until
+    ``n_startup_trials`` trials have finished and for the first
+    ``n_warmup_steps`` epochs of each trial.
+    """
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self._completed: list[dict[int, float]] = []
+
+    def make_report_fn(self):
+        """Per-trial report_fn(epoch, value); raises TrialPruned to prune."""
+        intermediates: dict[int, float] = {}
+
+        def report(epoch: int, value: float):
+            intermediates[epoch] = value
+            if len(self._completed) < self.n_startup_trials:
+                return
+            if epoch < self.n_warmup_steps:
+                return
+            at_step = [t[epoch] for t in self._completed if epoch in t]
+            if not at_step:
+                return
+            best_so_far = min(v for e, v in intermediates.items() if e <= epoch)
+            if best_so_far > float(np.median(at_step)):
+                raise TrialPruned(
+                    f"epoch {epoch}: best {best_so_far:.6f} > median "
+                    f"{float(np.median(at_step)):.6f} of {len(at_step)} trials")
+
+        report.intermediates = intermediates
+        return report
+
+    def complete_trial(self, report_fn):
+        self._completed.append(dict(report_fn.intermediates))
+
+
+def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
+             n_startup_trials: int = 5):
     """Random-search replacement for the reference Optuna mode; same search
-    space (batch, odd kernel, levels -> feature stack, log-uniform lr)."""
+    space (batch, odd kernel, levels -> feature stack, log-uniform lr) and the
+    same median-rule pruning contract as the reference study's default pruner."""
     rng = pyrandom.Random(2024)
     n_trials = n_trials or args.n_trials
     results = []
     study_path = osp.join(args.save_dir, "study.json")
+    pruner = MedianPruner(n_startup_trials=n_startup_trials)
 
     for trial_idx in range(n_trials):
         args.batch_size = rng.randint(*args.range_batch_size)
@@ -240,10 +286,14 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None):
         args.learning_rate = math.exp(rng.uniform(math.log(lo), math.log(hi)))
 
         train_loader, val_loader, test_loader = get_loader_fn(args)[0]
+        report_fn = pruner.make_report_fn()
         try:
-            _, val_loss = train(args, train_loader, val_loader, test_loader)
+            _, val_loss = train(args, train_loader, val_loader, test_loader,
+                                report_fn=report_fn)
             state = "COMPLETE"
-        except TrialPruned:
+            pruner.complete_trial(report_fn)
+        except TrialPruned as e:
+            print(f"Trial {trial_idx} pruned: {e}")
             val_loss, state = float("nan"), "PRUNED"
         results.append({
             "trial": trial_idx, "state": state, "value": val_loss,
@@ -254,9 +304,11 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None):
             json.dump(results, f, indent=2)
 
     complete = [r for r in results if r["state"] == "COMPLETE"]
+    pruned = [r for r in results if r["state"] == "PRUNED"]
     best = min(complete, key=lambda r: r["value"]) if complete else None
     print("Study statistics:")
     print("\t Number of finished trials: ", len(results))
+    print("\t Number of pruned trials: ", len(pruned))
     print("\t Number of complete trials: ", len(complete))
     if best:
         print("Best trial:")

@@ -6,7 +6,10 @@ Mirrors the reference VAE_model/train_3d_vae_only.py:
     so splits are identical)
   - per-component norm factors = max over U and U_2d stats per channel
   - KL annealing 1e-5 -> 1e-3 over 10 warmup epochs; mean-form KL
-  - gradient accumulation x10 with grad-clip max_norm=1.0 per microbatch
+  - gradient accumulation x10 with the reference's clip-after-every-backward
+    semantics: the ACCUMULATED gradient is clipped to max_norm=1.0 after each
+    microbatch, and the optimizer applies the pre-divided sum with no count
+    rescale (reference train_3d_vae_only.py:435-456)
   - mask-multiplied preds/targets before the selected per-channel loss
   - NaN/Inf health checks (skip batch) + KL-explosion abort (> 1000)
   - per-epoch save (vae.msgpack + vae_log.json) and best_model on val loss
@@ -134,7 +137,7 @@ def _to_cl(x):  # (B, C, D, H, W) -> (B, D, H, W, C)
     return jnp.moveaxis(jnp.asarray(x), 1, -1)
 
 
-def make_steps(vae: Stage1VAE, loss_name: str, optimizer):
+def make_steps(vae: Stage1VAE, loss_name: str, optimizer, accum_steps: int = 10):
     loss_fn_cf = LOSS_FUNCTIONS[loss_name]
 
     def losses(params, batch, rng, kl_coeff):
@@ -153,22 +156,20 @@ def make_steps(vae: Stage1VAE, loss_name: str, optimizer):
                        "mu_absmax": jnp.max(jnp.abs(mu))}
 
     @jax.jit
-    def grad_step(params, batch, rng, kl_coeff):
+    def grad_step(g_acc, params, batch, rng, kl_coeff):
+        """One microbatch: accumulate loss/accum grads, then clip the running
+        sum to norm 1.0 (reference clip-after-every-backward; skip-batch keeps
+        g_acc untouched)."""
+        from .accum import accumulate_clipped
+
         (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
             params, batch, rng, kl_coeff)
-        # reference clips each microbatch's gradient to max_norm=1.0
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-12))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        # skip-batch semantics: zero the gradient if mu/logvar were non-finite
-        keep = (~metrics["bad"]).astype(jnp.float32)
-        grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
-        return grads, metrics
+        g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"], accum_steps)
+        return g_acc, metrics
 
     @jax.jit
-    def apply_step(params, opt_state, g_acc, count):
-        grads = jax.tree_util.tree_map(lambda g: g / jnp.maximum(count, 1.0), g_acc)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+    def apply_step(params, opt_state, g_acc):
+        updates, opt_state = optimizer.update(g_acc, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
     @jax.jit
@@ -230,7 +231,8 @@ def main(argv=None):
     params = vae.init(jax.random.key(args.seed), (1, d, h, w, c))
     optimizer = optax.adam(args.learning_rate)
     opt_state = optimizer.init(params)
-    grad_step, apply_step, eval_step = make_steps(vae, args.loss_function, optimizer)
+    grad_step, apply_step, eval_step = make_steps(
+        vae, args.loss_function, optimizer, accum_steps=args.grad_accum)
 
     log_dict = {
         "loss": {"recons_train": [], "recons_val": [], "kl_train": [],
@@ -265,30 +267,29 @@ def main(argv=None):
 
         running_recons = running_kl = 0.0
         g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-        acc_count = 0.0
         i = -1
         for i, batch in enumerate(train_loader):
             batch = {"velocity": batch["velocity"] / np.asarray(nf),
                      "microstructure": batch["microstructure"]}
             rng, r = jax.random.split(rng)
-            grads, metrics = grad_step(params, batch, r, kl_coeff)
+            g_acc, metrics = grad_step(g_acc, params, batch, r, kl_coeff)
             kl_val = float(metrics["kl"])
-            if bool(metrics["bad"]):
+            skipped = bool(metrics["bad"])
+            if skipped:
                 print(f"  Skipping batch {i} due to bad mu/logvar values")
-                continue
-            if kl_val > 1000:
+            elif kl_val > 1000:
                 print(f"  ERROR: KL loss exploded to {kl_val:.2f}! Training unstable.")
                 sys.exit(1)
-            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-            acc_count += 1.0
-            running_recons += float(metrics["recons"])
-            running_kl += kl_val
-            if (i + 1) % args.grad_accum == 0:
-                params, opt_state = apply_step(params, opt_state, g_acc, acc_count)
+            else:
+                running_recons += float(metrics["recons"])
+                running_kl += kl_val
+            # reference steps on batch index, not accumulated count, and the
+            # skip-batch `continue` bypasses the step check too
+            if not skipped and (i + 1) % args.grad_accum == 0:
+                params, opt_state = apply_step(params, opt_state, g_acc)
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-                acc_count = 0.0
-        if acc_count > 0:
-            params, opt_state = apply_step(params, opt_state, g_acc, acc_count)
+        if i >= 0 and (i + 1) % args.grad_accum != 0:
+            params, opt_state = apply_step(params, opt_state, g_acc)
         if i == -1:
             print("ERROR: No training batches found!")
             continue

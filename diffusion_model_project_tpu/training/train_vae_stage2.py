@@ -13,7 +13,10 @@ Mirrors the reference VAE_model/train_2d_with_cross.py:
       total    = recon + lambda_align*align + lambda_cross*cross
     (published recipe: lambda_align=5, lambda_cross=50; argparse defaults
     0.1 / 1.0 as in the reference)
-  - grad accumulation x5, clip 1.0, KL term is 0 in stage 2
+  - grad accumulation x5 with the reference's clip-after-every-backward
+    semantics (accumulated gradient clipped to norm 1.0 each microbatch,
+    optimizer applies the pre-divided sum; train_2d_with_cross.py:455-480);
+    KL term is 0 in stage 2
   - saves model.msgpack / best_model.msgpack / vae_log.json with norm_factors
     and lambdas
 """
@@ -127,7 +130,7 @@ def _to_cl(x):
 
 
 def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
-               lambda_align: float, lambda_cross: float):
+               lambda_align: float, lambda_cross: float, accum_steps: int = 5):
     loss_fn_cf = LOSS_FUNCTIONS[loss_name]
 
     def losses(trainable, frozen, batch):
@@ -166,20 +169,19 @@ def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
                        "cross": cross_loss, "kl_2d": jnp.float32(0.0), "bad": bad}
 
     @jax.jit
-    def grad_step(trainable, frozen, batch):
+    def grad_step(g_acc, trainable, frozen, batch):
+        """One microbatch: accumulate loss/accum grads, clip the running sum
+        to norm 1.0 (reference train_2d_with_cross.py:455-459)."""
+        from .accum import accumulate_clipped
+
         (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
             trainable, frozen, batch)
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-12))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        keep = (~metrics["bad"]).astype(jnp.float32)
-        grads = jax.tree_util.tree_map(lambda g: g * keep, grads)
-        return grads, metrics
+        g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"], accum_steps)
+        return g_acc, metrics
 
     @jax.jit
-    def apply_step(trainable, opt_state, g_acc, count):
-        grads = jax.tree_util.tree_map(lambda g: g / jnp.maximum(count, 1.0), g_acc)
-        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+    def apply_step(trainable, opt_state, g_acc):
+        updates, opt_state = optimizer.update(g_acc, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state
 
     @jax.jit
@@ -243,7 +245,8 @@ def main(argv=None):
     optimizer = optax.adam(args.learning_rate)
     opt_state = optimizer.init(trainable)
     grad_step, apply_step, eval_step = make_steps(
-        vae, args.loss_function, optimizer, args.lambda_align, args.lambda_cross)
+        vae, args.loss_function, optimizer, args.lambda_align, args.lambda_cross,
+        accum_steps=args.grad_accum)
 
     log_dict = {
         "loss": {"recons_2d_train": [], "recons_2d_val": [], "kl_2d_train": [],
@@ -279,23 +282,21 @@ def main(argv=None):
         kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
         running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
         g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-        acc_count = 0.0
         i = -1
         for i, batch in enumerate(train_loader):
-            grads, metrics = grad_step(trainable, frozen, norm_batch(batch))
-            if bool(metrics["bad"]):
+            g_acc, metrics = grad_step(g_acc, trainable, frozen, norm_batch(batch))
+            skipped = bool(metrics["bad"])
+            if skipped:
                 print(f"WARNING: NaN/Inf in mean_2d at batch {i}")
-                continue
-            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-            acc_count += 1.0
-            for k in running:
-                running[k] += float(metrics[k])
-            if (i + 1) % args.grad_accum == 0:
-                trainable, opt_state = apply_step(trainable, opt_state, g_acc, acc_count)
+            else:
+                for k in running:
+                    running[k] += float(metrics[k])
+            # reference steps on batch index; skip-batch bypasses the check
+            if not skipped and (i + 1) % args.grad_accum == 0:
+                trainable, opt_state = apply_step(trainable, opt_state, g_acc)
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-                acc_count = 0.0
-        if acc_count > 0:
-            trainable, opt_state = apply_step(trainable, opt_state, g_acc, acc_count)
+        if i >= 0 and (i + 1) % args.grad_accum != 0:
+            trainable, opt_state = apply_step(trainable, opt_state, g_acc)
         num_train = max(i + 1, 1)
 
         val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}

@@ -48,12 +48,31 @@ def save_predictor(predictor, path: str) -> None:
         f.write(serialization.msgpack_serialize(state))
 
 
+def _check_param_structure(expected, got, what: str) -> None:
+    """torch-style strict state-dict check: missing/unexpected keys raise at
+    load time (reference load_state_dict strict=True), instead of surfacing
+    later as a flax apply error."""
+    def paths(tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return {jax.tree_util.keystr(p) for p, _ in flat}
+
+    exp, act = paths(expected), paths(got)
+    missing, unexpected = sorted(exp - act), sorted(act - exp)
+    if missing or unexpected:
+        raise ValueError(
+            f"{what}: state dict does not match the model. "
+            f"Missing key(s): {missing[:8]}{'...' if len(missing) > 8 else ''}; "
+            f"unexpected key(s): {unexpected[:8]}{'...' if len(unexpected) > 8 else ''}")
+
+
 def load_predictor_state(predictor, path: str):
     from flax import serialization
     from ..ops.normalizer import MaxNormalizer
 
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
+    _check_param_structure(predictor.unet_params, state["unet_params"],
+                           f"unet_params from {path}")
     return dataclasses.replace(
         predictor,
         unet_params=state["unet_params"],
@@ -255,11 +274,14 @@ def build_predictor(
 
 
 def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = True,
-                             vae_path_overrides: Optional[dict] = None):
+                             vae_path_overrides: Optional[dict] = None,
+                             model_kwargs_overrides: Optional[dict] = None):
     """Rebuild a predictor from a run dir's log.json + weights
     (native model.msgpack preferred, reference model.pt accepted).
     vae_path_overrides may remap vae_path / vae_encoder_path /
-    vae_decoder_path (reference resolve_path machinery, inference.py:95-126)."""
+    vae_decoder_path (reference resolve_path machinery, inference.py:95-126);
+    model_kwargs_overrides patches the UNet kwargs from log.json (used by the
+    legacy no-time-embeddings retry, reference evaluate.py:135-151)."""
     with open(osp.join(folder, "log.json")) as f:
         log_data = json.load(f)
     param_dict = log_data["params"]
@@ -269,6 +291,9 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
     predictor_kwargs = dict(param_dict["training"]["predictor"])
     if vae_path_overrides:
         predictor_kwargs.update(vae_path_overrides)
+    if model_kwargs_overrides:
+        predictor_kwargs["model_kwargs"] = {
+            **predictor_kwargs.get("model_kwargs", {}), **model_kwargs_overrides}
     pred, _ = build_predictor(predictor_kwargs, image_hw=image_hw)
 
     names = (["best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"]

@@ -57,7 +57,19 @@ def main(argv=None):
                                    seed=args.seed)[0]
     sample0 = test_loader.dataset[0]
     image_hw = tuple(sample0["microstructure"].shape[-2:])
-    predictor, _ = predictor_from_directory(model_dir, image_hw=image_hw)
+    try:
+        predictor, _ = predictor_from_directory(model_dir, image_hw=image_hw)
+    except Exception as e:
+        # legacy checkpoints predate time embeddings: retry with
+        # time_embedding_dim=None (reference evaluate.py:135-151)
+        if "time_mlp" not in str(e):
+            raise
+        print("\nWarning: Model checkpoint missing time embeddings. "
+              "Identifying as legacy model.")
+        print("Retrying with time_embedding_dim=None...")
+        predictor, _ = predictor_from_directory(
+            model_dir, image_hw=image_hw,
+            model_kwargs_overrides={"time_embedding_dim": None})
 
     eval_step = jax.jit(make_diffusion_eval_step(cost_name=cost_name))
     rng = jax.random.key(args.seed)

@@ -88,6 +88,130 @@ def test_get_loader_split_and_stats(synthetic_root):
     assert batch["velocity"].shape == (4, 3, 3, 16, 16)
 
 
+def test_statistics_writer_matches_reference_contract(synthetic_root, tmp_path):
+    """The in-loader statistics.json must carry the reference writer's full
+    field set with equal values (reference Diffusion_model/utils/dataset.py:344-438)."""
+    # torchvision isn't installed; the reference module imports it at top
+    # level but _save_statistics never touches it
+    import sys, types
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_tf = types.ModuleType("torchvision.transforms")
+        tv_tf.v2 = types.ModuleType("torchvision.transforms.v2")
+        tv.transforms = tv_tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_tf
+    load_ref("refdm_utils.zenodo", REF / "Diffusion_model/utils/zenodo.py")
+    ref_ds_mod = load_ref("refdm_utils.dataset",
+                          REF / "Diffusion_model/utils/dataset.py")
+
+    ours_ds = MicroFlowDataset(str(synthetic_root), use_3d=True, save_stats=True)
+    ours = json.loads((synthetic_root / "statistics.json").read_text())
+
+    ref_root = tmp_path / "ref_stats"
+    ref_root.mkdir()
+    stub = type("Stub", (), {})()
+    stub.root_dir = str(ref_root)
+    stub.use_3d = True
+    stub.data = {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in ours_ds.data.items()}
+    ref_ds_mod.MicroFlowDataset._save_statistics(stub)
+    theirs = json.loads((ref_root / "statistics.json").read_text())
+
+    assert set(ours) == set(theirs), (set(ours), set(theirs))
+    for section in theirs:
+        assert set(ours[section]) == set(theirs[section]), section
+        for field, val in theirs[section].items():
+            if isinstance(val, str):
+                assert ours[section][field] == val, (section, field)
+            else:
+                np.testing.assert_allclose(ours[section][field], val,
+                                           rtol=1e-6, err_msg=f"{section}.{field}")
+
+
+def _load_ref_vae_dataset_mod():
+    """Reference VAE_model/utils/dataset.py with a torchvision.functional shim
+    (hflip/vflip are imported at module top but unused by the parts under test)."""
+    import sys, types
+    if "torchvision.transforms.functional" not in sys.modules:
+        tv = sys.modules.get("torchvision", types.ModuleType("torchvision"))
+        tv_tf = getattr(tv, "transforms", types.ModuleType("torchvision.transforms"))
+        tv_f = types.ModuleType("torchvision.transforms.functional")
+        tv_f.hflip = tv_f.vflip = lambda x: x
+        tv_tf.functional = tv_f
+        tv.transforms = tv_tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_tf
+        sys.modules["torchvision.transforms.functional"] = tv_f
+    return load_ref("refvae_utils.dataset", REF / "VAE_model/utils/dataset.py")
+
+
+def test_dataset_transform_matches_reference(synthetic_root, tmp_path):
+    """Legacy DatasetTransform: same statistics.json (incl. the U-abs vs
+    p/d-plain max quirk) and same (inverse-)transforms
+    (reference VAE dataset.py:505-638)."""
+    from diffusion_model_project_tpu.data import DatasetTransform
+    ref_mod = _load_ref_vae_dataset_mod()
+
+    ref_root = tmp_path / "refdt"
+    import shutil
+    shutil.copytree(synthetic_root, ref_root)
+
+    ours = DatasetTransform(str(synthetic_root))
+    theirs = ref_mod.DatasetTransform(str(ref_root))
+    ours_stats = json.loads((synthetic_root / "statistics.json").read_text())
+    ref_stats = json.loads((ref_root / "statistics.json").read_text())
+    assert ours_stats == ref_stats
+
+    r = np.random.default_rng(1)
+    sample_np = {"velocity": r.standard_normal((3, 4, 4)).astype(np.float32),
+                 "pressure": r.standard_normal((1, 4, 4)).astype(np.float32),
+                 "dxyz": np.ones(3, np.float32)}
+    sample_t = {k: torch.from_numpy(v.copy()) for k, v in sample_np.items()}
+    out_np = ours(dict(sample_np))
+    out_t = theirs(dict(sample_t))
+    for k in sample_np:
+        np.testing.assert_allclose(out_np[k], out_t[k].numpy(), rtol=1e-6)
+    back = ours.inverse_transform(dict(out_np))
+    for k in sample_np:
+        np.testing.assert_allclose(back[k], sample_np[k], rtol=1e-5, atol=1e-7)
+
+    # dict-init path
+    ours2 = DatasetTransform(ours_stats)
+    np.testing.assert_allclose(ours2.transform_U(sample_np["velocity"]),
+                               out_np["velocity"], rtol=1e-6)
+
+
+def test_vae_paired_view_matches_reference(synthetic_root, tmp_path):
+    """Legacy paired VAE view: item layout + fluid-masked statistics writer
+    (reference VAE dataset.py:16-282, 186-260)."""
+    from diffusion_model_project_tpu.data import MicroFlowDatasetVAEPaired
+    ref_mod = _load_ref_vae_dataset_mod()
+
+    import shutil
+    ref_root = tmp_path / "refpaired"
+    shutil.copytree(synthetic_root, ref_root)
+
+    ours = MicroFlowDatasetVAEPaired(str(synthetic_root), save_stats=True)
+    theirs = ref_mod.MicroFlowDataset(str(ref_root))
+    assert len(ours) == len(theirs)
+    for idx in (0, len(ours) - 1):
+        o, t = ours[idx], theirs[idx]
+        assert set(o) == set(t)
+        for k in o:
+            np.testing.assert_allclose(np.asarray(o[k]), t[k].numpy(), rtol=1e-6,
+                                       err_msg=f"item {idx} key {k}")
+
+    ours_stats = json.loads((synthetic_root / "statistics.json").read_text())
+    ref_stats = json.loads((ref_root / "statistics.json").read_text())
+    assert set(ours_stats) == set(ref_stats)
+    for section in ref_stats:
+        assert set(ours_stats[section]) == set(ref_stats[section]), section
+        for field, val in ref_stats[section].items():
+            np.testing.assert_allclose(ours_stats[section][field], val, rtol=1e-5,
+                                       err_msg=f"{section}.{field}")
+
+
 def test_get_loader_respects_splits_json(synthetic_root):
     split = {"train": [0, 1, 2, 3], "val": [4, 5], "test": [6, 7],
              "metadata": {"num_samples": 12}}

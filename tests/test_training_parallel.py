@@ -149,6 +149,31 @@ def test_physics_losses_in_training_step():
         assert key in aux and np.isfinite(float(aux[key])), key
 
 
+def test_batch_dict_warns_on_non_divisible_mesh_batch(capsys):
+    """Remainder batches that can't shard over the mesh must say so out loud
+    (a silent ~8x step-time cliff otherwise; VERDICT r1 weak #4)."""
+    from diffusion_model_project_tpu.training import helper
+
+    helper._WARNED_UNSHARDED.clear()
+    mesh = make_mesh(("data",))
+    b3 = make_batch(3)
+    data = {"microstructure": b3["img"], "velocity_input": b3["U_2d"],
+            "velocity": b3["U"]}
+    out = helper._batch_dict(data, mesh)
+    captured = capsys.readouterr().out
+    assert "not divisible" in captured
+    # warned once per (batch, mesh) size, not per batch
+    helper._batch_dict(data, mesh)
+    assert "not divisible" not in capsys.readouterr().out
+    # divisible batches shard silently
+    b8 = make_batch(8)
+    data8 = {"microstructure": b8["img"], "velocity_input": b8["U_2d"],
+             "velocity": b8["U"]}
+    out8 = helper._batch_dict(data8, mesh)
+    assert "not divisible" not in capsys.readouterr().out
+    assert len(out8["img"].sharding.device_set) == mesh.devices.size
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
