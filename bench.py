@@ -31,7 +31,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor  # noqa: E402
 
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# B=8 is the measured single-chip throughput sweet spot (B=16 OOMs 16 GB HBM)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 DDIM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 S, H, W = 11, 256, 256
 
@@ -100,6 +101,10 @@ def main():
     # bf16 network compute (scheduler math stays f32); measured e2e error vs
     # f32 is ~3e-5 per-voxel MSE — far inside the 1e-3 parity budget.
     pred = pred.with_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        # frozen-VAE int8 fast path (~1.4e-3 relative MSE vs f32, decoder-
+        # dominated; see tests/test_quant.py) — throughput knob, off by default
+        pred = pred.with_vae_int8()
     if os.environ.get("BENCH_PALLAS", "0") == "1":
         from diffusion_model_project_tpu.models.layers import enable_pallas_fusion
         enable_pallas_fusion(attention=True,

@@ -69,6 +69,11 @@ class LatentDiffusionPredictor:
     # the reference probes this dynamically (predictor.py:652-662) and resizes
     # back with trilinear interpolation when it differs (predictor.py:878-884).
     vae_depth_factor: int = 1
+    # run the FROZEN VAE's convolutions in dynamic int8 (v5e MXU int8 is 2x
+    # bf16; see ops/quant.py). Inference fast path — the VAE is frozen so
+    # static-weight quantization is safe; accuracy is measured e2e in
+    # tests/test_quant.py and gated well inside the 1e-3 parity budget.
+    vae_int8: bool = False
     # leaves
     unet_params: dict = None
     vae_params: dict = None
@@ -82,6 +87,18 @@ class LatentDiffusionPredictor:
 
     def with_compute_dtype(self, dtype: str) -> "LatentDiffusionPredictor":
         return dataclasses.replace(self, compute_dtype=str(jnp.dtype(dtype)))
+
+    def with_vae_int8(self, enabled: bool = True) -> "LatentDiffusionPredictor":
+        return dataclasses.replace(self, vae_int8=enabled)
+
+    def _vae_apply(self, *args, **kwargs):
+        """vae.apply, optionally tracing its Convs through the int8 path."""
+        if self.vae_int8:
+            from ..models.layers import int8_convs
+
+            with int8_convs():
+                return self.vae.apply(*args, **kwargs)
+        return self.vae.apply(*args, **kwargs)
 
     # convenience constructors mirroring the reference classmethod surface
     # (predictor.py:222-292)
@@ -185,7 +202,7 @@ class LatentDiffusionPredictor:
         # --- E2D conditioning latent (deterministic mu) ---
         v2d_cl = _cf_to_cl(velocity_2d)                       # (B,S,H,W,3)
         v2d_norm = self.norm_output.normalize(v2d_cl, channel_axis=-1)
-        z_cond, _ = self.vae.apply(
+        z_cond, _ = self._vae_apply(
             {"params": self.vae_params}, v2d_norm.astype(self._cdtype),
             method="encode_2d_deterministic"
         )                                                     # (B,S,lh,lw,C)
@@ -215,7 +232,7 @@ class LatentDiffusionPredictor:
         reference predictor.py:1042-1085)."""
         v_cl = _cf_to_cl(velocity_3d)
         v_norm = self.norm_output.normalize(v_cl, channel_axis=-1)
-        mu, _ = self.vae.apply(
+        mu, _ = self._vae_apply(
             {"params": self.vae_params}, v_norm.astype(self._cdtype),
             method="encode_3d_deterministic"
         )
@@ -276,7 +293,7 @@ class LatentDiffusionPredictor:
         s = img.shape[1]
         h, w = img.shape[-2], img.shape[-1]
         z = x.reshape(b, ld, lh, lw, self.latent_channels)
-        vel = self.vae.apply(
+        vel = self._vae_apply(
             {"params": self.vae_params}, z.astype(self._cdtype), method="decode_3d")
         vel = self.norm_output.inverse(vel.astype(jnp.float32), channel_axis=-1)
         if ld != s:
@@ -386,7 +403,8 @@ class LatentDiffusionPredictor:
 
     _LEAF_FIELDS = ("unet_params", "vae_params", "scheduler", "norm_input", "norm_output")
     _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps",
-                   "distance_transform", "compute_dtype", "vae_depth_factor")
+                   "distance_transform", "compute_dtype", "vae_depth_factor",
+                   "vae_int8")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._LEAF_FIELDS)

@@ -19,10 +19,16 @@ from ..ops.attention import multihead_attention
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
 # Decompose depth-3 stride-1 Conv3D into 3 depth-shifted Conv2Ds summed
-# (numerically exact). XLA maps the 2D convs onto the MXU ~10-20% more
-# efficiently than its native 3D convolution at these shapes (measured on
-# v5e: 89 vs 74 TFLOP/s bf16 at 128ch/256^2).
+# (numerically exact). XLA maps the 2D convs onto the MXU better than its
+# native 3D convolution at these shapes even counting the extra pad/slice
+# materialization: full D3D decode 385 ms (decomposed) vs 475 ms (native) at
+# B=4 bf16 on v5e, chained-loop methodology (single-dispatch fori_loop x10 —
+# one-shot timings through the axon tunnel swing by 2x and once favored
+# native; trust only the chained numbers).
 CONV3D_DECOMPOSE = True
+# Shift OUTPUTS instead of inputs in the decomposition (see
+# _conv3d_decomposed docstring). A/B'd on v5e with the chained harness.
+CONV3D_SHIFT_OUTPUTS = False
 
 # Route GroupNorm+activation and/or self-attention through the fused Pallas
 # kernels (ops/pallas/). Off by default: numerically equivalent, but measured
@@ -38,6 +44,26 @@ def enable_pallas_fusion(attention: bool = True, groupnorm: bool = True) -> None
     global PALLAS_ATTENTION, PALLAS_GROUPNORM
     PALLAS_ATTENTION = attention
     PALLAS_GROUPNORM = groupnorm
+
+
+# Trace-time flag: route Conv through dynamic int8 (MXU int8 is 2x bf16 on
+# v5e; used for the FROZEN VAE only — see predictor.with_vae_int8()).
+CONV_INT8 = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def int8_convs():
+    """All Convs traced inside this context run the int8 fast path."""
+    global CONV_INT8
+    prev = CONV_INT8
+    CONV_INT8 = True
+    try:
+        yield
+    finally:
+        CONV_INT8 = prev
 
 
 
@@ -113,18 +139,30 @@ class Conv(nn.Module):
                 ("NDHWC", "DHWIO", "NDHWC"),
             )[ndim - 1],
         )
-        out = lax.conv_general_dilated(
-            x, weight.astype(x.dtype), strides, pad_cfg,
-            dimension_numbers=dn,
-            preferred_element_type=_pet(x),
-        ).astype(x.dtype)
+        if CONV_INT8 and ndim in (2, 3):
+            from ..ops.quant import int8_conv
+
+            out = int8_conv(x, weight, strides, pad_cfg, dn, x.dtype)
+        else:
+            out = lax.conv_general_dilated(
+                x, weight.astype(x.dtype), strides, pad_cfg,
+                dimension_numbers=dn,
+                preferred_element_type=_pet(x),
+            ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias.astype(out.dtype)
         return out
 
     def _conv3d_decomposed(self, x, weight, strides, pad_cfg):
-        """Depth-3 stride-1 Conv3D as sum of 3 depth-shifted Conv2Ds (exact)."""
+        """Depth-3 stride-1 Conv3D as sum of 3 depth-shifted Conv2Ds (exact).
+
+        CONV3D_SHIFT_OUTPUTS variant: run each depth tap as a kernel-depth-1
+        Conv3D over the FULL padded tensor and shift-add the outputs. The
+        input is then read straight from one padded buffer instead of being
+        materialized 3x (the profiled pad_slice fusions), at the price of
+        convolving the 2 pad slices too (13/11 extra FLOPs at depth 11).
+        """
         b, d, h, w, cin = x.shape
         pd_lo, pd_hi = pad_cfg[0]
         if (pd_lo, pd_hi) != (0, 0):
@@ -133,6 +171,24 @@ class Conv(nn.Module):
         d_out = d_pad - 2
         hw_pads = list(pad_cfg[1:])
         hw_strides = strides[1:]
+        if CONV_INT8:
+            from ..ops.quant import int8_conv3d_decomposed
+
+            return int8_conv3d_decomposed(x, weight, hw_strides, hw_pads, x.dtype)
+
+        if CONV3D_SHIFT_OUTPUTS:
+            dn3 = lax.conv_dimension_numbers(
+                x.shape, (1,) + weight.shape[1:], ("NDHWC", "DHWIO", "NDHWC"))
+            out = None
+            for k in range(3):
+                y = lax.conv_general_dilated(
+                    x, weight[k:k + 1].astype(x.dtype), (1,) + tuple(hw_strides),
+                    [(0, 0)] + hw_pads, dimension_numbers=dn3,
+                    preferred_element_type=_pet(x),
+                )[:, k:k + d_out]
+                out = y if out is None else out + y
+            return out.astype(x.dtype)
+
         dn2 = lax.conv_dimension_numbers(
             (b * d_out, h, w, cin), weight.shape[1:], ("NHWC", "HWIO", "NHWC"))
 

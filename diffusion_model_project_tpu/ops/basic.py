@@ -66,12 +66,22 @@ def group_norm(
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
     spatial = x.shape[1:-1]
-    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(b, *spatial, c)
-    out = xf * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    xg = x.reshape(b, -1, num_groups, c // num_groups)
+    # one-pass f32 statistics: sum and sumsq in a single read of x (the
+    # two-pass mean/var form costs an extra full-tensor pass; profiled at
+    # ~25% of the whole D3D decode). E[x^2]-mu^2 in f32 is well within the
+    # torch-parity tolerances for post-conv activation scales.
+    xf = xg.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 3))
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 3))
+    n = xg.shape[1] * xg.shape[3]
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)[:, None, :, None]
+    shift = mean[:, None, :, None] * scale
+    out = xg.astype(jnp.float32) * scale - shift
+    out = out.reshape(b, *spatial, c)
+    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(orig_dtype)
 
 

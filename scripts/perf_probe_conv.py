@@ -36,13 +36,17 @@ def timeit(fn, x, *args, iters=20, chain=None):
 
     @jax.jit
     def chained(x, *a):
-        return lax.fori_loop(0, iters, lambda i, v: chain(fn(v, *a)), x)
+        out = lax.fori_loop(0, iters, lambda i, v: chain(fn(v, *a)), x)
+        # reduce to a scalar INSIDE the jit so the timed fetch is tiny
+        return jnp.sum(out.astype(jnp.float32))
 
-    jax.block_until_ready(chained(x, *args))  # compile
-    # axon memoizes identical dispatches — time on a FRESH input value
-    x2 = jax.block_until_ready(jax.jit(lambda v: v + v.dtype.type(1))(x))
+    float(chained(x, *args))  # compile + warm (fetch forces real execution)
+    # axon memoizes identical dispatches — time on a FRESH input value, and
+    # fetch the scalar (block_until_ready alone can return before execution)
+    x2 = x + x.dtype.type(1)
+    float(jnp.sum(x2.astype(jnp.float32)))  # materialize x2 outside the clock
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(x2, *args))
+    float(chained(x2, *args))
     return (time.perf_counter() - t0) / iters
 
 

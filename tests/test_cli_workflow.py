@@ -1,93 +1,52 @@
 """Full-workflow smoke test: stage-1 VAE -> stage-2 VAE -> diffusion training
--> end-to-end eval / evaluate / inference CLIs, on tiny synthetic data (CPU)."""
+-> end-to-end eval / evaluate / inference CLIs, on tiny synthetic data (CPU).
+
+The trained artifacts come from the session-scoped shared fixtures in
+conftest.py (one dataset + one stage-1/stage-2/diffusion run shared with
+test_resume_and_mesh to keep suite wall-clock down)."""
 import json
 import os.path as osp
 import sys
 
 import numpy as np
 import pytest
-import torch
 
 REPO = osp.abspath(osp.join(osp.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
 
 @pytest.fixture(scope="module")
-def data_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("workflow") / "data"
-    x = root / "x"
-    x.mkdir(parents=True)
-    r = np.random.default_rng(0)
-    n, s, h, w = 10, 3, 16, 16
-    dom = (r.random((n, s, 1, h, w)) > 0.3).astype(np.float32)
-    dom[:, :, :, 0, 0] = 0.0
-    torch.save(torch.from_numpy(dom), x / "domain.pt")
-    u2d = r.standard_normal((n, s, 3, h, w)).astype(np.float32)
-    u2d[:, :, 2] = 0.0
-    torch.save(torch.from_numpy(u2d), x / "U_2d.pt")
-    torch.save(torch.from_numpy(r.standard_normal((n, s, 3, h, w)).astype(np.float32)), x / "U.pt")
-    torch.save(torch.from_numpy(r.standard_normal((n, s, 1, h, w)).astype(np.float32)), x / "p.pt")
-    torch.save(torch.from_numpy(np.ones((n, 3), np.float32)), x / "dxyz.pt")
-    # statistics.json is required by the VAE trainers (generated by get_loader
-    # from the train subset in the real flow)
-    from diffusion_model_project_tpu.data import get_loader
-    get_loader(str(root), batch_size=2, use_3d=True, seed=2024)
-    assert (root / "statistics.json").exists()
-    return str(root)
+def data_dir(shared_data_dir):
+    return shared_data_dir
 
 
 @pytest.fixture(scope="module")
-def stage1_dir(data_dir, tmp_path_factory):
-    from diffusion_model_project_tpu.training.train_vae_stage1 import main
-    out = str(tmp_path_factory.mktemp("stage1"))
-    main(["--dataset-dir", data_dir, "--save-dir", out,
-          "--latent-channels", "4", "--batch-size", "2", "--num-epochs", "2",
-          "--grad-accum", "2"])
-    assert osp.exists(osp.join(out, "vae.msgpack"))
-    assert osp.exists(osp.join(out, "best_model.msgpack"))
-    log = json.load(open(osp.join(out, "vae_log.json")))
+def stage1_dir(shared_stage1_dir):
+    assert osp.exists(osp.join(shared_stage1_dir, "vae.msgpack"))
+    assert osp.exists(osp.join(shared_stage1_dir, "best_model.msgpack"))
+    log = json.load(open(osp.join(shared_stage1_dir, "vae_log.json")))
     assert len(log["loss"]["recons_train"]) == 2
     assert log["norm_factors"] and len(log["norm_factors"]) == 3
-    return out
+    return shared_stage1_dir
 
 
 @pytest.fixture(scope="module")
-def stage2_dir(data_dir, stage1_dir, tmp_path_factory):
-    from diffusion_model_project_tpu.training.train_vae_stage2 import main
-    out = str(tmp_path_factory.mktemp("stage2"))
-    main(["--dataset-dir", data_dir, "--stage1-checkpoint", stage1_dir,
-          "--save-dir", out, "--latent-channels", "4", "--batch-size", "2",
-          "--num-epochs", "1", "--grad-accum", "2"])
-    assert osp.exists(osp.join(out, "model.msgpack"))
-    log = json.load(open(osp.join(out, "vae_log.json")))
+def stage2_dir(shared_stage2_dir):
+    assert osp.exists(osp.join(shared_stage2_dir, "model.msgpack"))
+    log = json.load(open(osp.join(shared_stage2_dir, "vae_log.json")))
     assert log["model_type"] == "dual"
-    return out
+    return shared_stage2_dir
 
 
 @pytest.fixture(scope="module")
-def diffusion_dir(data_dir, stage1_dir, stage2_dir, tmp_path_factory):
-    import train as train_cli
-    save_dir = str(tmp_path_factory.mktemp("diffusion_runs"))
-    train_cli.main([
-        "--root-dir", data_dir, "--save-dir", save_dir,
-        "--in-channels", "9", "--out-channels", "4",
-        "--features", "8", "16", "--attention", "", "--kernel-size", "3",
-        "--padding-mode", "zeros", "--batch-size", "2", "--num-epochs", "2",
-        "--num-slices", "3", "--num-timesteps", "20",
-        "--vae-encoder-path", stage2_dir, "--vae-decoder-path", stage1_dir,
-        "--shuffle", "true",
-    ])
-    import os
-    runs = [d for d in os.listdir(save_dir) if osp.isdir(osp.join(save_dir, d))]
-    assert len(runs) == 1
-    run_dir = osp.join(save_dir, runs[0])
-    assert osp.exists(osp.join(run_dir, "model.msgpack"))
-    assert osp.exists(osp.join(run_dir, "log.json"))
-    log = json.load(open(osp.join(run_dir, "log.json")))
+def diffusion_dir(shared_diffusion_dir):
+    assert osp.exists(osp.join(shared_diffusion_dir, "model.msgpack"))
+    assert osp.exists(osp.join(shared_diffusion_dir, "log.json"))
+    log = json.load(open(osp.join(shared_diffusion_dir, "log.json")))
     assert len(log["epoch"]) == 2
     assert "test_loss" in log
     assert np.isfinite(log["train_loss"]).all()
-    return run_dir
+    return shared_diffusion_dir
 
 
 def test_stage2_loads_stage1_and_freezes(stage2_dir, stage1_dir):

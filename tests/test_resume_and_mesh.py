@@ -1,80 +1,46 @@
-"""Train-state resume + data-parallel mesh training through the train.py CLI."""
+"""Train-state resume + data-parallel mesh training through the train.py CLI.
+
+Uses the session-scoped shared dataset/stage-1 fixtures from conftest.py (the
+same shapes and UNet config as test_cli_workflow, so the process-wide jit
+cache absorbs the step compiles once)."""
 import json
 import os
 import os.path as osp
 import sys
 
 import numpy as np
-import pytest
-import torch
+
+from conftest import SHARED_UNET_ARGS
 
 REPO = osp.abspath(osp.join(osp.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
 
-@pytest.fixture(scope="module")
-def data_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("resume_ds") / "data"
-    x = root / "x"
-    x.mkdir(parents=True)
-    r = np.random.default_rng(0)
-    n, s, h, w = 24, 3, 16, 16
-    dom = (r.random((n, s, 1, h, w)) > 0.3).astype(np.float32)
-    dom[:, :, :, 0, 0] = 0.0
-    torch.save(torch.from_numpy(dom), x / "domain.pt")
-    u2d = r.standard_normal((n, s, 3, h, w)).astype(np.float32)
-    u2d[:, :, 2] = 0.0
-    torch.save(torch.from_numpy(u2d), x / "U_2d.pt")
-    torch.save(torch.from_numpy(r.standard_normal((n, s, 3, h, w)).astype(np.float32)), x / "U.pt")
-    torch.save(torch.from_numpy(r.standard_normal((n, s, 1, h, w)).astype(np.float32)), x / "p.pt")
-    torch.save(torch.from_numpy(np.ones((n, 3), np.float32)), x / "dxyz.pt")
-    return str(root)
-
-
-BASE_ARGS = [
-    "--in-channels", "9", "--out-channels", "4", "--features", "8", "16",
-    "--attention", "", "--num-slices", "3", "--num-timesteps", "20",
-    "--padding-mode", "zeros",
-]
-
-
-def _vae_dirs(data_dir, tmp_path_factory):
-    from diffusion_model_project_tpu.training.train_vae_stage1 import main as s1
-    out = str(tmp_path_factory.mktemp("s1"))
-    s1(["--dataset-dir", data_dir, "--save-dir", out, "--latent-channels", "4",
-        "--batch-size", "4", "--num-epochs", "1", "--grad-accum", "2"])
-    return out
-
-
-@pytest.fixture(scope="module")
-def stage1(data_dir, tmp_path_factory):
-    from diffusion_model_project_tpu.data import get_loader
-    get_loader(data_dir, batch_size=4, use_3d=True)  # writes statistics.json
-    return _vae_dirs(data_dir, tmp_path_factory)
-
-
-def test_mesh_parallel_training_batch8(data_dir, stage1, tmp_path_factory):
+def test_mesh_parallel_training_batch8(shared_data_dir, shared_stage1_dir,
+                                       tmp_path_factory):
     """batch 8 on the 8-device CPU mesh: sharded steps, finite losses."""
     import jax
     assert jax.device_count() >= 8
     import train as train_cli
     save_dir = str(tmp_path_factory.mktemp("dp_runs"))
     train_cli.main([
-        "--root-dir", data_dir, "--save-dir", save_dir, *BASE_ARGS,
-        "--batch-size", "8", "--num-epochs", "1",
-        "--vae-path", stage1, "--shuffle", "true",
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "8", "--num-epochs", "1",
+        "--vae-path", shared_stage1_dir, "--shuffle", "true",
     ])
     runs = os.listdir(save_dir)
     log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
     assert np.isfinite(log["train_loss"]).all()
 
 
-def test_resume_continues_training(data_dir, stage1, tmp_path_factory):
+def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
+                                   tmp_path_factory):
     import train as train_cli
     save_dir = str(tmp_path_factory.mktemp("resume_runs"))
     train_cli.main([
-        "--root-dir", data_dir, "--save-dir", save_dir, *BASE_ARGS,
-        "--batch-size", "4", "--num-epochs", "2", "--vae-path", stage1,
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", "2",
+        "--vae-path", shared_stage1_dir,
     ])
     run_dir = osp.join(save_dir, os.listdir(save_dir)[0])
     assert osp.exists(osp.join(run_dir, "train_state.msgpack"))
@@ -83,9 +49,9 @@ def test_resume_continues_training(data_dir, stage1, tmp_path_factory):
 
     # resume to 4 epochs into the same dir
     train_cli.main([
-        "--root-dir", data_dir, "--save-dir", save_dir, *BASE_ARGS,
-        "--batch-size", "4", "--num-epochs", "4", "--vae-path", stage1,
-        "--resume", run_dir,
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", "4",
+        "--vae-path", shared_stage1_dir, "--resume", run_dir,
     ])
     log2 = json.load(open(osp.join(run_dir, "log.json")))
     assert log2["epoch"] == [0, 1, 2, 3]
