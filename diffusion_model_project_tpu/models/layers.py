@@ -27,8 +27,10 @@ _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "c
 # native; trust only the chained numbers).
 CONV3D_DECOMPOSE = True
 # Shift OUTPUTS instead of inputs in the decomposition (see
-# _conv3d_decomposed docstring). A/B'd on v5e with the chained harness.
-CONV3D_SHIFT_OUTPUTS = False
+# _conv3d_decomposed docstring). Chained A/B at B=8 on v5e: decode 722->479 ms,
+# E2D conditioning 548->350 ms — the input-materialization (pad_slice) cost
+# dwarfs the 2-extra-depth-slices of conv work.
+CONV3D_SHIFT_OUTPUTS = True
 
 # Route GroupNorm+activation and/or self-attention through the fused Pallas
 # kernels (ops/pallas/). Off by default: numerically equivalent, but measured

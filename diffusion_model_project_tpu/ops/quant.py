@@ -81,32 +81,32 @@ def int8_conv(x: jnp.ndarray, weight: jnp.ndarray, strides, pad_cfg,
 
 def int8_conv3d_decomposed(x: jnp.ndarray, weight: jnp.ndarray, hw_strides,
                            hw_pads, out_dtype) -> jnp.ndarray:
-    """Depth-3 stride-1 Conv3D as 3 depth-shifted int8 Conv2Ds with int32
-    accumulation and ONE rescale (x quantized once; exact mirror of
-    layers.Conv._conv3d_decomposed). weight (3, kh, kw, cin, cout)."""
+    """Depth-3 stride-1 Conv3D as 3 kernel-depth-1 int8 Conv3Ds over the full
+    padded tensor with shifted-output int32 accumulation and ONE rescale
+    (x quantized once; mirrors layers.Conv._conv3d_decomposed's
+    CONV3D_SHIFT_OUTPUTS structure — input-slice materialization profiled
+    costlier than convolving the 2 pad slices). weight (3, kh, kw, cin, cout)."""
     b, d_pad, h, w, cin = x.shape
     cout = weight.shape[-1]
     d_out = d_pad - 2
-    dn2 = lax.conv_dimension_numbers(
-        (b * d_out, h, w, cin), weight.shape[1:], ("NHWC", "HWIO", "NHWC"))
+    dn3 = lax.conv_dimension_numbers(
+        x.shape, (1,) + weight.shape[1:], ("NDHWC", "DHWIO", "NDHWC"))
     if _use_float_path(cin, cout):
         acc = None
         for k in range(3):
-            xs = x[:, k:k + d_out].reshape(b * d_out, h, w, cin)
             y = lax.conv_general_dilated(
-                xs, weight[k].astype(x.dtype), hw_strides, hw_pads,
-                dimension_numbers=dn2)
+                x, weight[k:k + 1].astype(x.dtype), (1,) + tuple(hw_strides),
+                [(0, 0)] + list(hw_pads), dimension_numbers=dn3)[:, k:k + d_out]
             acc = y if acc is None else acc + y
-        return acc.astype(out_dtype).reshape(b, d_out, *acc.shape[1:])
+        return acc.astype(out_dtype)
     x_q, sx = quantize_act_per_channel(x)
     w_scaled = weight.astype(jnp.float32) * sx[..., :, None]
     w_q, sw = quantize_weight(w_scaled)
     acc = None
     for k in range(3):
-        xs = x_q[:, k:k + d_out].reshape(b * d_out, h, w, cin)
         y = lax.conv_general_dilated(
-            xs, w_q[k], hw_strides, hw_pads, dimension_numbers=dn2,
-            preferred_element_type=jnp.int32)
+            x_q, w_q[k:k + 1], (1,) + tuple(hw_strides),
+            [(0, 0)] + list(hw_pads), dimension_numbers=dn3,
+            preferred_element_type=jnp.int32)[:, k:k + d_out]
         acc = y if acc is None else acc + y
-    out = (acc.astype(jnp.float32) * sw).astype(out_dtype)
-    return out.reshape(b, d_out, *out.shape[1:])
+    return (acc.astype(jnp.float32) * sw).astype(out_dtype)
