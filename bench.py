@@ -105,6 +105,10 @@ def main():
         # frozen-VAE int8 fast path (~1.4e-3 relative MSE vs f32, decoder-
         # dominated; see tests/test_quant.py) — throughput knob, off by default
         pred = pred.with_vae_int8()
+    if os.environ.get("BENCH_INT8_UNET", "0") == "1":
+        # int8 DDIM scan (quantization error feeds back through the sampler;
+        # measured in tests/test_quant.py) — throughput knob, off by default
+        pred = pred.with_unet_int8()
     if os.environ.get("BENCH_PALLAS", "0") == "1":
         from diffusion_model_project_tpu.models.layers import enable_pallas_fusion
         enable_pallas_fusion(attention=True,

@@ -74,6 +74,13 @@ class LatentDiffusionPredictor:
     # static-weight quantization is safe; accuracy is measured e2e in
     # tests/test_quant.py and gated well inside the 1e-3 parity budget.
     vae_int8: bool = False
+    # run the UNet's convolutions in dynamic int8 during sampling. The UNet is
+    # frozen at inference; its convs run at ~100 TFLOP/s bf16 (near their
+    # structural roofline, scripts/perf_probe_unet.py) so int8 is the one lever
+    # left for the DDIM scan. Per-step quantization error feeds back through
+    # the sampler, so the e2e error is larger than the VAE path's — measured
+    # in tests/test_quant.py and NOT part of the parity path.
+    unet_int8: bool = False
     # leaves
     unet_params: dict = None
     vae_params: dict = None
@@ -90,6 +97,9 @@ class LatentDiffusionPredictor:
 
     def with_vae_int8(self, enabled: bool = True) -> "LatentDiffusionPredictor":
         return dataclasses.replace(self, vae_int8=enabled)
+
+    def with_unet_int8(self, enabled: bool = True) -> "LatentDiffusionPredictor":
+        return dataclasses.replace(self, unet_int8=enabled)
 
     def _vae_apply(self, *args, **kwargs):
         """vae.apply, optionally tracing its Convs through the int8 path."""
@@ -222,8 +232,14 @@ class LatentDiffusionPredictor:
         unet_in = jnp.concatenate(
             [x.astype(self._cdtype), z_cond.astype(self._cdtype),
              m_cond.astype(self._cdtype)], axis=-1)
-        return self.unet.apply(
-            {"params": self.unet_params}, unet_in, t).astype(jnp.float32)
+        if self.unet_int8:
+            from ..models.layers import int8_convs
+
+            with int8_convs():
+                out = self.unet.apply({"params": self.unet_params}, unet_in, t)
+        else:
+            out = self.unet.apply({"params": self.unet_params}, unet_in, t)
+        return out.astype(jnp.float32)
 
     # ----------------------------------------------------------------- train
 
@@ -404,7 +420,7 @@ class LatentDiffusionPredictor:
     _LEAF_FIELDS = ("unet_params", "vae_params", "scheduler", "norm_input", "norm_output")
     _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps",
                    "distance_transform", "compute_dtype", "vae_depth_factor",
-                   "vae_int8")
+                   "vae_int8", "unet_int8")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._LEAF_FIELDS)

@@ -54,6 +54,9 @@ def main():
     if os.environ.get("BENCH_INT8", "0") == "1":
         pred = pred.with_vae_int8()
         print("int8 VAE ON")
+    if os.environ.get("BENCH_INT8_UNET", "0") == "1":
+        pred = pred.with_unet_int8()
+        print("int8 UNet ON")
 
     r = np.random.default_rng(0)
     img = (r.random((BATCH, S, 1, H, W)) > 0.3).astype(np.float32)
