@@ -140,14 +140,22 @@ class LatentDiffusionPredictor:
         latent_channels: Optional[int] = None,
         vae_params: Optional[dict] = None,
         image_hw: Tuple[int, int] = (256, 256),
+        vae_features: Optional[Tuple[int, int, int]] = None,
     ) -> "LatentDiffusionPredictor":
+        from ..models.vae import REFERENCE_FEATURES, features_from_decoder_params
+
         model_kwargs = dict(model_kwargs)
         model_kwargs.setdefault("time_embedding_dim", 64)
         if "features" in model_kwargs:
             model_kwargs["features"] = tuple(model_kwargs["features"])
         unet = UNet(**model_kwargs)
         latent_channels = latent_channels or model_kwargs.get("out_channels", 4)
-        vae = DualBranchVAE(latent_channels=latent_channels)
+        if vae_params is not None:
+            # widths live in the checkpoint's conv shapes — derive, don't trust
+            # config (custom-features checkpoints round-trip automatically)
+            vae_features = features_from_decoder_params(vae_params["decoder_3d"])
+        vae = DualBranchVAE(latent_channels=latent_channels,
+                            features=tuple(vae_features or REFERENCE_FEATURES))
 
         r_unet, r_vae, r_sample = jax.random.split(rng, 3)
         h, w = image_hw

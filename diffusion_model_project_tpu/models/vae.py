@@ -23,7 +23,7 @@ flax's 'sample' RNG stream; deterministic variants are pure.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,6 +34,23 @@ from ..ops.resize import upsample_nearest_hw
 from .layers import Conv, Dense, GroupNorm, MultiheadSelfAttention
 
 _ASYM_PAD = ((1, 1), (0, 1), (0, 1))  # (D, H, W) pre-pad for stride-(1,2,2)
+
+# The reference hardwires the stage widths (128, 256, 512)
+# (VAE_model/src/vae/encoder.py:30-150, decoder.py:31-151). We expose them as
+# a ``features`` knob (defaults preserve the reference architecture and all
+# published-checkpoint parity); each width must divide by the GroupNorm's 32
+# groups. Loaders derive the widths from checkpoint param shapes
+# (features_from_decoder_params) so custom-width checkpoints round-trip.
+REFERENCE_FEATURES = (128, 256, 512)
+
+
+def features_from_decoder_params(decoder_params: dict) -> Tuple[int, int, int]:
+    """Derive (f1, f2, f3) stage widths from a Decoder param dict's conv
+    output-channel shapes (weights are (*spatial, in, out))."""
+    f3 = decoder_params["conv_in"]["weight"].shape[-1]
+    f2 = decoder_params["conv_up1"]["weight"].shape[-1]
+    f1 = decoder_params["conv_up2"]["weight"].shape[-1]
+    return (int(f1), int(f2), int(f3))
 
 
 class FiLM(nn.Module):
@@ -118,12 +135,14 @@ class Encoder(nn.Module):
     kernel_size: int = 3
     conditional: bool = False
     remat: bool = False
+    features: Sequence[int] = REFERENCE_FEATURES
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pad = get_padding(self.kernel_size)
+        f1, f2, f3 = self.features
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:
@@ -133,19 +152,19 @@ class Encoder(nn.Module):
         def res(block, h):
             return block(h, cond) if self.conditional else block(h)
 
-        x = Conv(128, self.kernel_size, padding=pad, name="conv_in")(x)
+        x = Conv(f1, self.kernel_size, padding=pad, name="conv_in")(x)
         if cond is not None:
-            x = FiLM(128, name="film_in")(x, cond)
-        x = res(Res(128, "res1_1"), x)
-        x = res(Res(128, "res1_2"), x)
-        x = Conv(128, self.kernel_size, strides=(1, 2, 2), padding=0,
+            x = FiLM(f1, name="film_in")(x, cond)
+        x = res(Res(f1, "res1_1"), x)
+        x = res(Res(f1, "res1_2"), x)
+        x = Conv(f1, self.kernel_size, strides=(1, 2, 2), padding=0,
                  extra_pad=_ASYM_PAD, name="down1")(x)
-        x = res(Res(256, "res2_1"), x)
-        x = res(Res(256, "res2_2"), x)
-        x = Conv(256, self.kernel_size, strides=(1, 2, 2), padding=0,
+        x = res(Res(f2, "res2_1"), x)
+        x = res(Res(f2, "res2_2"), x)
+        x = Conv(f2, self.kernel_size, strides=(1, 2, 2), padding=0,
                  extra_pad=_ASYM_PAD, name="down2")(x)
-        x = res(Res(512, "res3_1"), x)
-        x = res(Res(512, "res3_2"), x)
+        x = res(Res(f3, "res3_1"), x)
+        x = res(Res(f3, "res3_2"), x)
         x = GroupNorm(32, act="silu", name="norm_out")(x)
         x = Conv(2 * self.out_channels, self.kernel_size, padding=pad, name="conv_out")(x)
         if cond is not None:
@@ -167,12 +186,14 @@ class Decoder(nn.Module):
     kernel_size: int = 3
     conditional: bool = False
     remat: bool = False
+    features: Sequence[int] = REFERENCE_FEATURES
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         pad = get_padding(self.kernel_size)
+        f1, f2, f3 = self.features
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:
@@ -182,21 +203,21 @@ class Decoder(nn.Module):
         def res(block, h):
             return block(h, cond) if self.conditional else block(h)
 
-        x = Conv(512, self.kernel_size, padding=pad, name="conv_in")(x)
+        x = Conv(f3, self.kernel_size, padding=pad, name="conv_in")(x)
         if cond is not None:
-            x = FiLM(512, name="film_in")(x, cond)
-        x = res(Res(512, "res1_1"), x)
-        x = res(Res(512, "res1_2"), x)
+            x = FiLM(f3, name="film_in")(x, cond)
+        x = res(Res(f3, "res1_1"), x)
+        x = res(Res(f3, "res1_2"), x)
         x = upsample_nearest_hw(x)
-        x = Conv(256, self.kernel_size, padding=pad, name="conv_up1")(x)
-        x = res(Res(256, "res2_1"), x)
-        x = res(Res(256, "res2_2"), x)
+        x = Conv(f2, self.kernel_size, padding=pad, name="conv_up1")(x)
+        x = res(Res(f2, "res2_1"), x)
+        x = res(Res(f2, "res2_2"), x)
         x = upsample_nearest_hw(x)
-        x = Conv(128, self.kernel_size, padding=pad, name="conv_up2")(x)
-        x = res(Res(128, "res3_1"), x)
-        x = res(Res(128, "res3_2"), x)
+        x = Conv(f1, self.kernel_size, padding=pad, name="conv_up2")(x)
+        x = res(Res(f1, "res3_1"), x)
+        x = res(Res(f1, "res3_2"), x)
         if cond is not None:
-            x = FiLM(128, name="film_pre_out")(x, cond)
+            x = FiLM(f1, name="film_pre_out")(x, cond)
         x = GroupNorm(32, act="silu", name="norm_out")(x)
         x = Conv(self.out_channels, self.kernel_size, padding=pad, name="conv_out")(x)
         if cond is not None:
@@ -223,10 +244,13 @@ class VariationalAutoencoder(nn.Module):
     latent_channels: int = 8
     kernel_size: int = 3
     conditional: bool = False
+    features: Sequence[int] = REFERENCE_FEATURES
 
     def setup(self):
-        self.encoder = Encoder(self.latent_channels, self.kernel_size, self.conditional)
-        self.decoder = Decoder(self.in_channels, self.kernel_size, self.conditional)
+        self.encoder = Encoder(self.latent_channels, self.kernel_size,
+                               self.conditional, features=self.features)
+        self.decoder = Decoder(self.in_channels, self.kernel_size,
+                               self.conditional, features=self.features)
 
     def encode(self, x, condition=None):
         mu, logvar = self.encoder(x, condition)
@@ -259,21 +283,26 @@ class DualBranchVAE(nn.Module):
     share_decoders: bool = False
     remat_decoders: bool = False  # per-block remat (see Decoder.remat)
     remat_encoders: bool = False  # per-block remat (see Encoder.remat)
+    features: Sequence[int] = REFERENCE_FEATURES
 
     def setup(self):
         self.encoder_2d = Encoder(self.latent_channels, self.kernel_size,
-                                  remat=self.remat_encoders, name="encoder_2d")
+                                  remat=self.remat_encoders,
+                                  features=self.features, name="encoder_2d")
         self.decoder_2d = Decoder(self.in_channels, self.kernel_size,
-                                  remat=self.remat_decoders, name="decoder_2d")
+                                  remat=self.remat_decoders,
+                                  features=self.features, name="decoder_2d")
         self.encoder_3d = (
             self.encoder_2d if self.share_encoders
             else Encoder(self.latent_channels, self.kernel_size,
-                         remat=self.remat_encoders, name="encoder_3d")
+                         remat=self.remat_encoders,
+                         features=self.features, name="encoder_3d")
         )
         self.decoder_3d = (
             self.decoder_2d if self.share_decoders
             else Decoder(self.in_channels, self.kernel_size,
-                         remat=self.remat_decoders, name="decoder_3d")
+                         remat=self.remat_decoders,
+                         features=self.features, name="decoder_3d")
         )
 
     # --- stochastic encodes (flax 'sample' RNG stream) ---------------------

@@ -99,6 +99,7 @@ def train(
     opt_state = optimizer.init(predictor.unet_params)
 
     mesh = None
+    data_parallel = data_parallel and getattr(args, "data_parallel", True)
     if data_parallel and jax.device_count() > 1:
         from ..parallel import make_mesh, replicate
 

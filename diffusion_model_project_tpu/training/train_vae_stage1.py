@@ -67,6 +67,10 @@ def parse_args(argv=None):
     parser.add_argument("--max-kl-coeff", type=float, default=1e-3)
     parser.add_argument("--grad-accum", type=int, default=10)
     parser.add_argument("--seed", type=int, default=2024)
+    parser.add_argument("--features", type=int, nargs=3, default=None,
+                        help="stage widths (default: the reference's hardwired "
+                             "128 256 512; each must divide by the GroupNorm's "
+                             "32 groups)")
     return parser.parse_args(argv)
 
 
@@ -110,10 +114,16 @@ class Stage1VAE:
     Blocks are rematerialized during backprop: full-scale 256^2x11 training
     needs ~29 GB of stored activations otherwise (v5e has 15.75 GB)."""
 
-    def __init__(self, in_channels=3, latent_channels=8, remat=True):
-        self.encoder = Encoder(out_channels=latent_channels, remat=remat)
-        self.decoder = Decoder(out_channels=in_channels, remat=remat)
+    def __init__(self, in_channels=3, latent_channels=8, remat=True,
+                 features=None):
+        from ..models.vae import REFERENCE_FEATURES
+        features = tuple(features or REFERENCE_FEATURES)
+        self.encoder = Encoder(out_channels=latent_channels, remat=remat,
+                               features=features)
+        self.decoder = Decoder(out_channels=in_channels, remat=remat,
+                               features=features)
         self.latent_channels = latent_channels
+        self.features = features
 
     def init(self, rng, sample_shape):
         r1, r2 = jax.random.split(rng)
@@ -225,7 +235,8 @@ def main(argv=None):
     norm_factors = norm_factors_from_stats(statistics, args.norm_mode)
     nf = jnp.asarray(norm_factors).reshape(1, 3, 1, 1, 1)
 
-    vae = Stage1VAE(args.in_channels, args.latent_channels)
+    vae = Stage1VAE(args.in_channels, args.latent_channels,
+                    features=args.features)
     sample0 = full_dataset[indices_3d[0]]
     c, d, h, w = sample0["velocity"].shape
     params = vae.init(jax.random.key(args.seed), (1, d, h, w, c))
@@ -239,6 +250,9 @@ def main(argv=None):
                  "kl_val": [], "kl_coeff": []},
         "in_channels": args.in_channels,
         "latent_channels": args.latent_channels,
+        # extension: stage widths (reference hardwires (128, 256, 512));
+        # loaders derive widths from param shapes, this is informational
+        "features": list(vae.features),
         "per_component_norm": True,
         "norm_mode": args.norm_mode,
         "norm_factors": norm_factors.tolist(),

@@ -224,18 +224,22 @@ def main(argv=None):
     # remat: stage-2 differentiates through E2D, D2D AND the frozen D3D at
     # full 256^2 resolution — without per-block rematerialization the stored
     # activations exceed HBM
+    frozen = load_stage1_params(args.stage1_checkpoint)
+    frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+    # stage widths come from the stage-1 checkpoint's conv shapes (the fresh
+    # E2D/D2D must share them for the latent spaces to align)
+    from ..models.vae import features_from_decoder_params
+    features = features_from_decoder_params(frozen["decoder_3d"])
     vae = DualBranchVAE(in_channels=args.in_channels,
                         latent_channels=args.latent_channels,
-                        remat_encoders=True, remat_decoders=True)
+                        remat_encoders=True, remat_decoders=True,
+                        features=features)
     sample0 = base[0]
     c, d, h, w = sample0["velocity"].shape
     dummy = jnp.zeros((1, d, h, w, c), jnp.float32)
     all_params = jax.jit(lambda k1, k2: vae.init(
         {"params": k1, "sample": k2}, dummy, dummy)["params"]
     )(jax.random.key(args.seed), jax.random.key(args.seed + 1))
-
-    frozen = load_stage1_params(args.stage1_checkpoint)
-    frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
     trainable = {"encoder_2d": all_params["encoder_2d"],
                  "decoder_2d": all_params["decoder_2d"]}
     e3d_checksum = checksum(frozen["encoder_3d"])
@@ -254,6 +258,7 @@ def main(argv=None):
                  "cross_train": [], "cross_val": [], "kl_coeff": []},
         "in_channels": args.in_channels,
         "latent_channels": args.latent_channels,
+        "features": list(features),  # informational; loaders derive from params
         "model_type": "dual",
         "norm_mode": args.norm_mode,
         "norm_factors": norm_factors.tolist(),

@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     group_train.add_argument("--compute-dtype", type=str, default="float32",
                              choices=["float32", "bfloat16"],
                              help="Network compute dtype (scheduler/normalization stay f32).")
+    group_train.add_argument("--data-parallel", type=str_to_bool, default=True,
+                             help="Enter a 1-D 'data' mesh over all visible devices "
+                                  "(the TPU-native torch.nn.DataParallel replacement). "
+                                  "false = single-device execution.")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)

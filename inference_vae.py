@@ -64,7 +64,9 @@ def load_vae(vae_path: str, latent_channels=None):
             latent_channels = json.load(f).get("latent_channels", 8)
     latent_channels = latent_channels or 8
     params, norm_factors, flavor = load_dual_vae_from_paths(vae_path=vae_path)
-    vae = DualBranchVAE(latent_channels=latent_channels)
+    from diffusion_model_project_tpu.models.vae import features_from_decoder_params
+    vae = DualBranchVAE(latent_channels=latent_channels,
+                        features=features_from_decoder_params(params["decoder_3d"]))
     return vae, params, norm_factors, flavor
 
 

@@ -86,9 +86,11 @@ def shared_data_dir(tmp_path_factory):
 def shared_stage1_dir(shared_data_dir, tmp_path_factory):
     from diffusion_model_project_tpu.training.train_vae_stage1 import main
     out = str(tmp_path_factory.mktemp("shared_s1"))
+    # tiny stage widths (reference-default 128/256/512 would spend minutes of
+    # CPU per epoch; width parity is covered by the parity suites)
     main(["--dataset-dir", shared_data_dir, "--save-dir", out,
           "--latent-channels", "4", "--batch-size", "2", "--num-epochs", "2",
-          "--grad-accum", "2"])
+          "--grad-accum", "2", "--features", "32", "64", "64"])
     return out
 
 
@@ -115,6 +117,9 @@ def shared_diffusion_dir(shared_data_dir, shared_stage1_dir, shared_stage2_dir,
         "--vae-encoder-path", shared_stage2_dir,
         "--vae-decoder-path", shared_stage1_dir,
         "--shuffle", "true",
+        # batch 2 on the 8-device test mesh would run replicated (8x the host
+        # CPU work); mesh behavior has its own tests
+        "--data-parallel", "false",
     ])
     runs = [d for d in os.listdir(save_dir) if osp.isdir(osp.join(save_dir, d))]
     assert len(runs) == 1

@@ -64,6 +64,7 @@ def tiny_pred():
     return LatentDiffusionPredictor.create(
         dict(unet_kwargs), rng=jax.random.key(0), num_slices=3,
         num_timesteps=20, distance_transform=True, image_hw=(32, 32),
+        vae_features=(32, 64, 64),
     ).set_normalizer({"input": [1.0], "output": [2.0, 3.0, 4.0]})
 
 
@@ -96,7 +97,7 @@ def test_unet_int8_survives_pytree_and_engages():
     )
     pred = LatentDiffusionPredictor.create(
         dict(kw), rng=jax.random.key(0), num_slices=3, num_timesteps=20,
-        distance_transform=True, image_hw=(32, 32),
+        distance_transform=True, image_hw=(32, 32), vae_features=(32, 64, 64),
     ).set_normalizer({"input": [1.0], "output": [2.0, 3.0, 4.0]})
     # the zero-initialized final conv makes a fresh UNet output identically
     # zero (and thus int8-invariant) — randomize it so the paths can differ

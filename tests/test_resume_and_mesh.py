@@ -40,7 +40,7 @@ def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
     train_cli.main([
         "--root-dir", shared_data_dir, "--save-dir", save_dir,
         *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", "2",
-        "--vae-path", shared_stage1_dir,
+        "--vae-path", shared_stage1_dir, "--data-parallel", "false",
     ])
     run_dir = osp.join(save_dir, os.listdir(save_dir)[0])
     assert osp.exists(osp.join(run_dir, "train_state.msgpack"))
@@ -52,6 +52,7 @@ def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
         "--root-dir", shared_data_dir, "--save-dir", save_dir,
         *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", "4",
         "--vae-path", shared_stage1_dir, "--resume", run_dir,
+        "--data-parallel", "false",
     ])
     log2 = json.load(open(osp.join(run_dir, "log.json")))
     assert log2["epoch"] == [0, 1, 2, 3]
@@ -74,7 +75,7 @@ def test_train_state_roundtrip_preserves_optimizer(tmp_path):
               attention="", dropout=0.0, time_embedding_dim=16)
     pred = LatentDiffusionPredictor.create(
         dict(kw), rng=jax.random.key(0), num_slices=3, num_timesteps=20,
-        image_hw=(32, 32))
+        image_hw=(32, 32), vae_features=(32, 32, 32))
     opt = make_optimizer(1e-3, 0.01)
     opt_state = opt.init(pred.unet_params)
     # take one update so moments are non-trivial

@@ -25,6 +25,7 @@ def make_pred():
     return LatentDiffusionPredictor.create(
         dict(UNET_KW), rng=jax.random.key(0), num_slices=S,
         num_timesteps=20, distance_transform=True, image_hw=(H, W),
+        vae_features=(32, 32, 32),
     )
 
 

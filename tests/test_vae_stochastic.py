@@ -8,7 +8,7 @@ from diffusion_model_project_tpu.models.vae import (
 
 
 def _init_dual(rng_seed=0):
-    vae = DualBranchVAE(latent_channels=4)
+    vae = DualBranchVAE(latent_channels=4, features=(32, 32, 32))
     dummy = jnp.zeros((1, 2, 16, 16, 3))
     params = vae.init({"params": jax.random.key(rng_seed),
                        "sample": jax.random.key(1)}, dummy, dummy)["params"]
@@ -42,7 +42,7 @@ def test_logvar_clamped(rng):
 
 
 def test_variational_autoencoder_roundtrip(rng):
-    vae = VariationalAutoencoder(latent_channels=4)
+    vae = VariationalAutoencoder(latent_channels=4, features=(32, 32, 32))
     x = jnp.asarray(rng.standard_normal((1, 2, 16, 16, 3)).astype(np.float32))
     params = vae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)["params"]
     recon, (mu, logvar) = vae.apply({"params": params}, x,
@@ -65,6 +65,18 @@ def test_predict_2d_to_3d_and_cross_3d_to_2d(rng):
                          rngs={"sample": jax.random.key(4)})
     assert x2d.shape == x.shape
     np.testing.assert_array_equal(np.asarray(x2d)[..., 2], 0.0)  # w zeroed
+
+
+def test_features_derived_from_decoder_params(rng):
+    """Loaders size custom-width VAEs from checkpoint conv shapes, not config
+    (stage-2 and inference_vae must reconstruct the stage-1 widths exactly)."""
+    from diffusion_model_project_tpu.models.vae import (
+        Decoder, features_from_decoder_params)
+
+    feats = (32, 64, 96)  # each must divide by the GroupNorm's 32 groups
+    dec = Decoder(out_channels=3, features=feats)
+    params = dec.init(jax.random.key(0), jnp.zeros((1, 2, 4, 4, 4)))["params"]
+    assert features_from_decoder_params(params) == feats
 
 
 def test_kl_sum_form(rng):
