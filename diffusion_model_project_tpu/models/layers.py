@@ -6,6 +6,7 @@ transpose. All layers are channels-last.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -29,8 +30,27 @@ CONV3D_DECOMPOSE = True
 # Shift OUTPUTS instead of inputs in the decomposition (see
 # _conv3d_decomposed docstring). Chained A/B at B=8 on v5e: decode 722->479 ms,
 # E2D conditioning 548->350 ms — the input-materialization (pad_slice) cost
-# dwarfs the 2-extra-depth-slices of conv work.
+# dwarfs the 2-extra-depth-slices of conv work. INFERENCE ONLY: the variant's
+# backward pass holds full-depth pre-slice cotangents per tap, which both
+# slows the train step (311->337 ms at the published diffusion config) and
+# OOMs the physics step at 256^2 (RESOURCE_EXHAUSTED on 15.75 GB); training
+# steps trace under conv3d_shift_inputs() to get the round-1 memory profile.
 CONV3D_SHIFT_OUTPUTS = True
+
+
+@contextlib.contextmanager
+def conv3d_shift_inputs():
+    """Convs traced inside this context use the shift-INPUTS decomposition
+    (better backward memory/time; see CONV3D_SHIFT_OUTPUTS). Enter it INSIDE
+    the jitted train step so the flag applies at trace time regardless of
+    caller."""
+    global CONV3D_SHIFT_OUTPUTS
+    prev = CONV3D_SHIFT_OUTPUTS
+    CONV3D_SHIFT_OUTPUTS = False
+    try:
+        yield
+    finally:
+        CONV3D_SHIFT_OUTPUTS = prev
 
 # Route GroupNorm+activation and/or self-attention through the fused Pallas
 # kernels (ops/pallas/). Off by default: numerically equivalent, but measured
@@ -51,9 +71,6 @@ def enable_pallas_fusion(attention: bool = True, groupnorm: bool = True) -> None
 # Trace-time flag: route Conv through dynamic int8 (MXU int8 is 2x bf16 on
 # v5e; used for the FROZEN VAE only — see predictor.with_vae_int8()).
 CONV_INT8 = False
-
-
-import contextlib
 
 
 @contextlib.contextmanager

@@ -125,6 +125,12 @@ def make_diffusion_train_step(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(predictor, opt_state, batch, rng):
+        from ..models.layers import conv3d_shift_inputs
+
+        with conv3d_shift_inputs():
+            return _train_step_impl(predictor, opt_state, batch, rng)
+
+    def _train_step_impl(predictor, opt_state, batch, rng):
         if accum_steps == 1:
             (_, aux), grads = grad_fn(predictor.unet_params, predictor, batch, rng)
         else:

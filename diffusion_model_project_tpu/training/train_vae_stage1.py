@@ -171,9 +171,11 @@ def make_steps(vae: Stage1VAE, loss_name: str, optimizer, accum_steps: int = 10)
         sum to norm 1.0 (reference clip-after-every-backward; skip-batch keeps
         g_acc untouched)."""
         from .accum import accumulate_clipped
+        from ..models.layers import conv3d_shift_inputs
 
-        (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
-            params, batch, rng, kl_coeff)
+        with conv3d_shift_inputs():  # backward-friendly conv3d decomposition
+            (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
+                params, batch, rng, kl_coeff)
         g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"], accum_steps)
         return g_acc, metrics
 
