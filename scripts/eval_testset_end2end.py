@@ -161,9 +161,8 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             # sample would reuse the same DDPM noise stream
             return pred.predict(img, v2d, noise=noise, rng=rng)
 
-    start_time = time.time()
-    for eval_idx, sample_idx in enumerate(sample_indices):
-        sample_start = time.time()
+    def _dispatch(sample_idx):
+        """Host-side sample prep + async device dispatch (does not block)."""
         data = test_dataset[sample_idx]
         img = jnp.asarray(data["microstructure"])[None]
         velocity_2d = jnp.asarray(data["velocity_input"])[None]
@@ -185,10 +184,34 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
                 jax.random.key(seed + sample_idx),
                 (s, predictor.latent_channels, lh, lw))
 
-        prediction = np.asarray(jax.block_until_ready(
-            predict_fn(predictor, img, velocity_2d, target, noise,
-                       jax.random.key(seed + sample_idx))))
-        sample_time = time.time() - sample_start
+        pred_dev = predict_fn(predictor, img, velocity_2d, target, noise,
+                              jax.random.key(seed + sample_idx))
+        return img, target, pred_dev
+
+    # Software-pipelined loop: sample i+1 is prepared and dispatched to the
+    # device BEFORE sample i's result is fetched, so host-side work (noise
+    # gen, metric numpy reductions, npz writes) overlaps device sampling.
+    # time_sec is the steady-state per-sample pipeline time (gap between
+    # consecutive result completions), which is what samples/sec reports.
+    start_time = time.time()
+    inflight = None  # (sample_idx, eval_idx, img, target, pred_dev)
+    last_done = start_time
+    for step in range(total + 1):
+        nxt = None
+        if step < total:
+            sample_idx = sample_indices[step]
+            img, target, pred_dev = _dispatch(sample_idx)
+            nxt = (sample_idx, step, img, target, pred_dev)
+        if inflight is None:
+            inflight = nxt
+            continue
+        sample_idx, eval_idx, img, target, pred_dev = inflight
+        inflight = nxt
+
+        prediction = np.asarray(jax.block_until_ready(pred_dev))
+        now = time.time()
+        sample_time = now - last_done
+        last_done = now
 
         assert prediction.shape == target.shape, \
             f"Shape mismatch: pred {prediction.shape} vs target {target.shape}"

@@ -151,3 +151,47 @@ def test_mha_matches_torch(rng, heads, tokens, embed):
         num_heads=heads,
     ))
     np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_decompositions_agree_in_value_and_grad(rng):
+    """Native Conv3D, shift-INPUTS, and shift-OUTPUTS decompositions are the
+    same function — values AND gradients. Training steps trace under
+    layers.conv3d_shift_inputs() (memory-friendly backward) while inference
+    uses shift-outputs, so both must stay exact vs the native conv."""
+    import jax
+    from diffusion_model_project_tpu.models import layers
+
+    x = rng.standard_normal((2, 5, 8, 8, 4)).astype(np.float32)
+    conv = layers.Conv(features=6, kernel_size=3, padding=1)
+    params = conv.init(jax.random.key(0), jnp.asarray(x))
+
+    def loss(p, xv):
+        return jnp.sum(conv.apply(p, xv) ** 2)
+
+    def run():
+        val, (gp, gx) = jax.value_and_grad(
+            lambda p, xv: loss(p, xv), argnums=(0, 1))(params, jnp.asarray(x))
+        return val, gp, gx
+
+    prev = (layers.CONV3D_DECOMPOSE, layers.CONV3D_SHIFT_OUTPUTS)
+    try:
+        layers.CONV3D_DECOMPOSE = False
+        v_native, gp_native, gx_native = run()
+
+        layers.CONV3D_DECOMPOSE = True
+        layers.CONV3D_SHIFT_OUTPUTS = True
+        v_so, gp_so, gx_so = run()
+        with layers.conv3d_shift_inputs():
+            assert not layers.CONV3D_SHIFT_OUTPUTS
+            v_si, gp_si, gx_si = run()
+    finally:
+        layers.CONV3D_DECOMPOSE, layers.CONV3D_SHIFT_OUTPUTS = prev
+
+    for v, gp, gx in ((v_so, gp_so, gx_so), (v_si, gp_si, gx_si)):
+        np.testing.assert_allclose(float(v), float(v_native), rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            gp, gp_native)
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gx_native), rtol=1e-4, atol=1e-4)
