@@ -34,23 +34,40 @@ CONV3D_DECOMPOSE = True
 # backward pass holds full-depth pre-slice cotangents per tap, which both
 # slows the train step (311->337 ms at the published diffusion config) and
 # OOMs the physics step at 256^2 (RESOURCE_EXHAUSTED on 15.75 GB); training
-# steps trace under conv3d_shift_inputs() to get the round-1 memory profile.
+# steps trace under train_trace() to get the round-1 memory profile.
 CONV3D_SHIFT_OUTPUTS = True
 
 
 @contextlib.contextmanager
-def conv3d_shift_inputs():
-    """Convs traced inside this context use the shift-INPUTS decomposition
-    (better backward memory/time; see CONV3D_SHIFT_OUTPUTS). Enter it INSIDE
-    the jitted train step so the flag applies at trace time regardless of
-    caller."""
-    global CONV3D_SHIFT_OUTPUTS
-    prev = CONV3D_SHIFT_OUTPUTS
-    CONV3D_SHIFT_OUTPUTS = False
+def train_trace():
+    """Trace-time switches for TRAINING steps (enter INSIDE the jitted step
+    so they apply at trace time regardless of caller):
+
+    - conv3d decomposition: shift-INPUTS (the shift-outputs variant's
+      backward holds full-depth pre-slice cotangents per tap — slower and
+      OOMs the physics step at 256^2; see CONV3D_SHIFT_OUTPUTS).
+    - GroupNorm: robust two-pass statistics (one-pass E[x^2]-mu^2 loses all
+      variance bits if training drifts activations to |mean|/std > ~3e3;
+      see ops.basic.group_norm).
+    """
+    from ..ops import basic
+
+    prev = (CONV3D_SHIFT_OUTPUTS, basic.GN_TWO_PASS)
+    _set_train_trace(True)
     try:
         yield
     finally:
-        CONV3D_SHIFT_OUTPUTS = prev
+        globals()["CONV3D_SHIFT_OUTPUTS"], basic.GN_TWO_PASS = prev
+
+
+def _set_train_trace(on: bool) -> None:
+    from ..ops import basic
+
+    global CONV3D_SHIFT_OUTPUTS
+    CONV3D_SHIFT_OUTPUTS = not on
+    basic.GN_TWO_PASS = on
+
+
 
 # Route GroupNorm+activation and/or self-attention through the fused Pallas
 # kernels (ops/pallas/). Off by default: numerically equivalent, but measured
@@ -158,7 +175,9 @@ class Conv(nn.Module):
                 ("NDHWC", "DHWIO", "NDHWC"),
             )[ndim - 1],
         )
-        if CONV_INT8 and ndim in (2, 3):
+        from ..ops.quant import use_float_path
+
+        if CONV_INT8 and ndim in (2, 3) and not use_float_path(in_ch, self.features):
             from ..ops.quant import int8_conv
 
             out = int8_conv(x, weight, strides, pad_cfg, dn, x.dtype)
@@ -190,7 +209,9 @@ class Conv(nn.Module):
         d_out = d_pad - 2
         hw_pads = list(pad_cfg[1:])
         hw_strides = strides[1:]
-        if CONV_INT8:
+        from ..ops.quant import use_float_path
+
+        if CONV_INT8 and not use_float_path(x.shape[-1], self.features):
             from ..ops.quant import int8_conv3d_decomposed
 
             return int8_conv3d_decomposed(x, weight, hw_strides, hw_pads, x.dtype)

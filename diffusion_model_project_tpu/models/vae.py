@@ -44,13 +44,26 @@ _ASYM_PAD = ((1, 1), (0, 1), (0, 1))  # (D, H, W) pre-pad for stride-(1,2,2)
 REFERENCE_FEATURES = (128, 256, 512)
 
 
+def validate_features(features) -> Tuple[int, int, int]:
+    """Fail fast on stage widths the GroupNorm(32) layers can't support —
+    otherwise an invalid --features dies much later as a bare shape assert
+    deep inside ops.group_norm during the first jit trace."""
+    features = tuple(int(f) for f in features)
+    bad = [f for f in features if f % 32 != 0 or f <= 0]
+    if bad:
+        raise ValueError(
+            f"VAE stage widths {features} must be positive multiples of 32 "
+            f"(the GroupNorm group count); offending values: {bad}.")
+    return features
+
+
 def features_from_decoder_params(decoder_params: dict) -> Tuple[int, int, int]:
     """Derive (f1, f2, f3) stage widths from a Decoder param dict's conv
     output-channel shapes (weights are (*spatial, in, out))."""
     f3 = decoder_params["conv_in"]["weight"].shape[-1]
     f2 = decoder_params["conv_up1"]["weight"].shape[-1]
     f1 = decoder_params["conv_up2"]["weight"].shape[-1]
-    return (int(f1), int(f2), int(f3))
+    return validate_features((f1, f2, f3))
 
 
 class FiLM(nn.Module):

@@ -17,6 +17,11 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+# GroupNorm statistics algorithm: False = fast one-pass (inference default),
+# True = robust two-pass (set at trace time by models.layers.train_trace,
+# which every training step enters). See group_norm for the rationale.
+GN_TWO_PASS = False
+
 
 def get_padding(kernel_size: int) -> int:
     """'Same-ish' padding for a given kernel size (even k -> k/2-1, odd -> k//2)."""
@@ -67,19 +72,30 @@ def group_norm(
     assert c % num_groups == 0, (c, num_groups)
     spatial = x.shape[1:-1]
     xg = x.reshape(b, -1, num_groups, c // num_groups)
-    # one-pass f32 statistics: sum and sumsq in a single read of x (the
-    # two-pass mean/var form costs an extra full-tensor pass; profiled at
-    # ~25% of the whole D3D decode). E[x^2]-mu^2 in f32 is well within the
-    # torch-parity tolerances for post-conv activation scales.
     xf = xg.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 3))
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 3))
-    n = xg.shape[1] * xg.shape[3]
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    if GN_TWO_PASS:
+        # training trace (models.layers.train_trace): torch-style two-pass
+        # mean then E[(x-mean)^2] — robust to any DC drift of the activations
+        # (early/exploding training can push |mean|/std past the ~3e3 where
+        # the one-pass form below loses every variance bit). The extra read
+        # is cheap next to the backward, which re-reads x anyway.
+        mean = jnp.mean(xf, axis=(1, 3))
+        var = jnp.mean(jnp.square(xf - mean[:, None, :, None]), axis=(1, 3))
+    else:
+        # inference: one-pass f32 sum/sumsq in a single read of x (the
+        # two-pass form costs ~5% e2e on v5e; a shifted one-pass that fixes
+        # the cancellation de-fuses XLA's reduce and costs 19%). E[x^2]-mu^2
+        # in f32 is exact enough while |mean|/std < ~1e3, which converged
+        # checkpoints' post-conv activations satisfy by orders of magnitude.
+        s1 = jnp.sum(xf, axis=(1, 3))
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 3))
+        n = xg.shape[1] * xg.shape[3]
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    # subtract-then-scale: x*scale - mean*scale cancels catastrophically when
+    # |mean| >> std (both products ~|mean|*scale with ulp >> 1)
     scale = jax.lax.rsqrt(var + eps)[:, None, :, None]
-    shift = mean[:, None, :, None] * scale
-    out = xg.astype(jnp.float32) * scale - shift
+    out = (xg.astype(jnp.float32) - mean[:, None, :, None]) * scale
     out = out.reshape(b, *spatial, c)
     out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(orig_dtype)

@@ -57,19 +57,18 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return w_q, scale
 
 
-def _use_float_path(cin: int, cout: int) -> bool:
+def use_float_path(cin: int, cout: int) -> bool:
+    """Thin-channel convs (the 3->128 stems / 128->3 heads) should stay in
+    the caller's canonical float path — callers check this BEFORE routing
+    here, so the quant fns never duplicate the float conv."""
     return cin < MIN_IN_CH or cout < MIN_OUT_CH
 
 
 def int8_conv(x: jnp.ndarray, weight: jnp.ndarray, strides, pad_cfg,
               dimension_numbers, out_dtype) -> jnp.ndarray:
     """Quantize-convolve-rescale; drop-in for one lax.conv_general_dilated.
-    weight layout (..., in, out), x channels-last."""
-    cin, cout = weight.shape[-2], weight.shape[-1]
-    if _use_float_path(cin, cout):
-        return lax.conv_general_dilated(
-            x, weight.astype(x.dtype), strides, pad_cfg,
-            dimension_numbers=dimension_numbers).astype(out_dtype)
+    weight layout (..., in, out), x channels-last. Caller is responsible for
+    the use_float_path() thin-channel check."""
     x_q, sx = quantize_act_per_channel(x)
     w_scaled = weight.astype(jnp.float32) * sx[..., :, None]  # fold act scales
     w_q, sw = quantize_weight(w_scaled)
@@ -87,18 +86,9 @@ def int8_conv3d_decomposed(x: jnp.ndarray, weight: jnp.ndarray, hw_strides,
     CONV3D_SHIFT_OUTPUTS structure — input-slice materialization profiled
     costlier than convolving the 2 pad slices). weight (3, kh, kw, cin, cout)."""
     b, d_pad, h, w, cin = x.shape
-    cout = weight.shape[-1]
     d_out = d_pad - 2
     dn3 = lax.conv_dimension_numbers(
         x.shape, (1,) + weight.shape[1:], ("NDHWC", "DHWIO", "NDHWC"))
-    if _use_float_path(cin, cout):
-        acc = None
-        for k in range(3):
-            y = lax.conv_general_dilated(
-                x, weight[k:k + 1].astype(x.dtype), (1,) + tuple(hw_strides),
-                [(0, 0)] + list(hw_pads), dimension_numbers=dn3)[:, k:k + d_out]
-            acc = y if acc is None else acc + y
-        return acc.astype(out_dtype)
     x_q, sx = quantize_act_per_channel(x)
     w_scaled = weight.astype(jnp.float32) * sx[..., :, None]
     w_q, sw = quantize_weight(w_scaled)

@@ -125,9 +125,19 @@ def make_diffusion_train_step(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(predictor, opt_state, batch, rng):
-        from ..models.layers import conv3d_shift_inputs
+        from ..models.layers import train_trace
 
-        with conv3d_shift_inputs():
+        # fail fast: the int8 sampling paths round/clip activations, whose
+        # VJP is zero a.e. — training through them silently produces ~zero
+        # gradients. These are static (aux) fields, so this raises at trace
+        # time, not per step.
+        if getattr(predictor, "unet_int8", False) or getattr(predictor, "vae_int8", False):
+            raise ValueError(
+                "Training through an int8 predictor (with_unet_int8/"
+                "with_vae_int8) would yield zero gradients through the "
+                "round/clip quantizers; disable int8 for training "
+                "(.with_unet_int8(False).with_vae_int8(False)).")
+        with train_trace():
             return _train_step_impl(predictor, opt_state, batch, rng)
 
     def _train_step_impl(predictor, opt_state, batch, rng):

@@ -116,8 +116,8 @@ class Stage1VAE:
 
     def __init__(self, in_channels=3, latent_channels=8, remat=True,
                  features=None):
-        from ..models.vae import REFERENCE_FEATURES
-        features = tuple(features or REFERENCE_FEATURES)
+        from ..models.vae import REFERENCE_FEATURES, validate_features
+        features = validate_features(features or REFERENCE_FEATURES)
         self.encoder = Encoder(out_channels=latent_channels, remat=remat,
                                features=features)
         self.decoder = Decoder(out_channels=in_channels, remat=remat,
@@ -171,9 +171,9 @@ def make_steps(vae: Stage1VAE, loss_name: str, optimizer, accum_steps: int = 10)
         sum to norm 1.0 (reference clip-after-every-backward; skip-batch keeps
         g_acc untouched)."""
         from .accum import accumulate_clipped
-        from ..models.layers import conv3d_shift_inputs
+        from ..models.layers import train_trace
 
-        with conv3d_shift_inputs():  # backward-friendly conv3d decomposition
+        with train_trace():  # backward-friendly conv3d decomposition
             (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
                 params, batch, rng, kl_coeff)
         g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"], accum_steps)

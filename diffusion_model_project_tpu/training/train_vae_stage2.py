@@ -173,9 +173,9 @@ def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
         """One microbatch: accumulate loss/accum grads, clip the running sum
         to norm 1.0 (reference train_2d_with_cross.py:455-459)."""
         from .accum import accumulate_clipped
-        from ..models.layers import conv3d_shift_inputs
+        from ..models.layers import train_trace
 
-        with conv3d_shift_inputs():  # backward-friendly conv3d decomposition
+        with train_trace():  # backward-friendly conv3d decomposition
             (_, metrics), grads = jax.value_and_grad(losses, has_aux=True)(
                 trainable, frozen, batch)
         g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"], accum_steps)

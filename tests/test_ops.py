@@ -156,7 +156,7 @@ def test_mha_matches_torch(rng, heads, tokens, embed):
 def test_conv3d_decompositions_agree_in_value_and_grad(rng):
     """Native Conv3D, shift-INPUTS, and shift-OUTPUTS decompositions are the
     same function — values AND gradients. Training steps trace under
-    layers.conv3d_shift_inputs() (memory-friendly backward) while inference
+    layers.train_trace() (memory-friendly backward) while inference
     uses shift-outputs, so both must stay exact vs the native conv."""
     import jax
     from diffusion_model_project_tpu.models import layers
@@ -181,7 +181,7 @@ def test_conv3d_decompositions_agree_in_value_and_grad(rng):
         layers.CONV3D_DECOMPOSE = True
         layers.CONV3D_SHIFT_OUTPUTS = True
         v_so, gp_so, gx_so = run()
-        with layers.conv3d_shift_inputs():
+        with layers.train_trace():
             assert not layers.CONV3D_SHIFT_OUTPUTS
             v_si, gp_si, gx_si = run()
     finally:
@@ -195,3 +195,44 @@ def test_conv3d_decompositions_agree_in_value_and_grad(rng):
             gp, gp_native)
         np.testing.assert_allclose(
             np.asarray(gx), np.asarray(gx_native), rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_dc_offset_robustness(rng):
+    """GroupNorm statistics under DC-offset activations.
+
+    Training branch (two-pass, under layers.train_trace): must survive
+    |mean|/std ~ 1e4, where the one-pass E[x^2]-mu^2 form loses every
+    variance bit (var clamps to 0 -> rsqrt(eps) amplifies garbage ~300x).
+    Inference branch (one-pass): must stay torch-accurate at the moderate
+    offsets (|mean|/std ~ 1e2) real checkpoints produce."""
+    from diffusion_model_project_tpu.models.layers import train_trace
+
+    c, groups = 32, 8
+    gamma = np.ones(c, np.float32)
+    beta = np.zeros(c, np.float32)
+
+    # --- training branch at pathological offset: output must be normalized,
+    # not amplified garbage (per-group mean ~0, std ~1)
+    x = (rng.standard_normal((2, 5, 6, c)) * 0.1 + 1000.0).astype(np.float32)
+    with train_trace():
+        ours = np.asarray(group_norm(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), groups))
+    g = ours.reshape(2, -1, groups, c // groups)
+    assert np.isfinite(ours).all()
+    np.testing.assert_allclose(g.mean(axis=(1, 3)), 0.0, atol=1e-2)
+    np.testing.assert_allclose(g.std(axis=(1, 3)), 1.0, atol=2e-2)
+
+    # --- inference branch at realistic offset: torch parity. The one-pass
+    # form's normalization error grows ~(mean/std)^2 * 1e-7 (f32 sumsq
+    # rounding): ~1e-5 at ratio 10 (here), ~0.4% at ratio 100, total loss
+    # past ~3e3 — converged checkpoints sit at single-digit ratios.
+    x = (rng.standard_normal((2, 5, 6, c)) * 0.1 + 1.0).astype(np.float32)
+    ours = np.asarray(group_norm(
+        jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), groups))
+    gn = torch.nn.GroupNorm(groups, c)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(gamma))
+        gn.bias.copy_(torch.from_numpy(beta))
+    theirs = gn(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+        .detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)

@@ -158,3 +158,16 @@ def test_e2e_int8_close_to_f32(tiny_pred):
     mse = float(jnp.mean(jnp.square(out_f32 - out_int8)))
     denom = float(jnp.mean(jnp.square(out_f32))) + 1e-12
     assert mse / denom < 3e-3, (mse, denom)
+
+
+def test_train_step_rejects_int8_predictor(tiny_pred):
+    """Training through round/clip quantizers yields zero grads a.e. — the
+    train step must fail fast instead (trace-time ValueError)."""
+    import optax
+    from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+    opt = optax.adam(1e-3)
+    step = make_diffusion_train_step(opt)
+    p8 = tiny_pred.with_unet_int8()
+    with pytest.raises(ValueError, match="int8"):
+        step(p8, opt.init(p8.unet_params), {}, jax.random.key(0))

@@ -18,7 +18,9 @@ sys.path.insert(0, REPO)
 
 def test_mesh_parallel_training_batch8(shared_data_dir, shared_stage1_dir,
                                        tmp_path_factory):
-    """batch 8 on the 8-device CPU mesh: sharded steps, finite losses."""
+    """batch 8 on the 8-device CPU mesh: sharded steps, finite losses; then
+    RESUME under the same mesh (host-restored predictor/opt_state must land
+    back on mesh-sharded steps without error)."""
     import jax
     assert jax.device_count() >= 8
     import train as train_cli
@@ -29,8 +31,20 @@ def test_mesh_parallel_training_batch8(shared_data_dir, shared_stage1_dir,
         "--vae-path", shared_stage1_dir, "--shuffle", "true",
     ])
     runs = os.listdir(save_dir)
-    log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
+    run_dir = osp.join(save_dir, runs[0])
+    log = json.load(open(osp.join(run_dir, "log.json")))
     assert np.isfinite(log["train_loss"]).all()
+
+    train_cli.main([
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "8", "--num-epochs", "2",
+        "--vae-path", shared_stage1_dir, "--shuffle", "true",
+        "--resume", run_dir,
+    ])
+    log2 = json.load(open(osp.join(run_dir, "log.json")))
+    assert log2["epoch"] == [0, 1]
+    np.testing.assert_allclose(log2["train_loss"][:1], log["train_loss"][:1])
+    assert np.isfinite(log2["train_loss"]).all()
 
 
 def test_resume_continues_training(shared_data_dir, shared_stage1_dir,

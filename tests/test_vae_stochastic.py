@@ -85,3 +85,12 @@ def test_kl_sum_form(rng):
     # logvar=0: KL = -0.5 * sum(1 - mu^2 - 1) = 0.5 * sum(mu^2)
     np.testing.assert_allclose(float(kl_divergence_sum(mu, logvar)),
                                0.5 * float(jnp.sum(mu ** 2)), rtol=1e-5)
+
+
+def test_invalid_vae_features_fail_fast():
+    import pytest
+    from diffusion_model_project_tpu.models.vae import validate_features
+
+    with pytest.raises(ValueError, match="multiples of 32"):
+        validate_features((48, 96, 192))
+    assert validate_features((32, 64, 128)) == (32, 64, 128)
