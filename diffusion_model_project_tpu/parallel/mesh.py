@@ -12,6 +12,10 @@ visible GPUs (train_3d_vae_only.py:310-312). The TPU-native replacement is a
 Multi-host extends the same mesh over DCN via jax.distributed.initialize();
 nothing in the training step changes. Tests exercise the mesh on a virtual
 8-device CPU platform (tests/conftest.py).
+
+For configs larger than one chip, ``parallel/tp.py`` adds a ``model`` axis
+with channel-sharded weights (tensor parallelism); a ``slice`` axis sharding
+the z-dimension (sequence parallelism) is dry-run in ``__graft_entry__``.
 """
 from __future__ import annotations
 

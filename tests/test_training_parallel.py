@@ -175,6 +175,57 @@ def test_batch_dict_warns_on_non_divisible_mesh_batch(capsys):
     assert len(out8["img"].sharding.device_set) == mesh.devices.size
 
 
+def test_tensor_parallel_matches_single_device():
+    """Channel-sharded params over a (data=4, model=2) mesh: the jitted train
+    step and DDIM sampler must match the unsharded run — GSPMD inserts the
+    collectives the Megatron-style specs (parallel/tp.py) require, so this
+    locks both the spec pytree's validity and numerical equivalence."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    from diffusion_model_project_tpu.parallel import shard_predictor_tp
+
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    batch = make_batch(4)
+    rng = jax.random.key(5)
+    step = jax.jit(make_diffusion_train_step(opt))
+
+    pred_1, _, aux_1 = step(pred, opt.init(pred.unet_params), batch, rng)
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    with mesh:
+        pred_tp = shard_predictor_tp(pred, mesh)
+        # every multi-dim weight must actually be sharded at these widths
+        weights = [x for x in jax.tree_util.tree_leaves(pred_tp.unet_params)
+                   if x.ndim >= 2]
+        assert weights and all(not w.sharding.is_fully_replicated
+                               for w in weights)
+        batch_tp = shard_batch(batch, mesh)
+        opt_tp = opt.init(pred_tp.unet_params)
+        pred_2, _, aux_2 = step(pred_tp, opt_tp, batch_tp, rng)
+
+    np.testing.assert_allclose(float(aux_1["loss"]), float(aux_2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        pred_1.unet_params, pred_2.unet_params)
+    # the Adam update must not have silently re-gathered the weights
+    updated = [x for x in jax.tree_util.tree_leaves(pred_2.unet_params)
+               if x.ndim >= 2]
+    assert any(not w.sharding.is_fully_replicated for w in updated)
+
+    # inference path (fused DDIM scan + VAE decode) under the same mesh
+    r = np.random.default_rng(7)
+    noise = jnp.asarray(r.standard_normal((3, 4, 8, 8)).astype(np.float32))
+    kw = dict(num_steps=3, eta=0.0, noise=noise)
+    img, v2d = batch["img"][:1], batch["U_2d"][:1]
+    out_1 = jax.jit(lambda p: p.predict_ddim(img, v2d, **kw))(pred)
+    with mesh:
+        out_2 = jax.jit(lambda p: p.predict_ddim(img, v2d, **kw))(pred_tp)
+    np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
