@@ -36,12 +36,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 DDIM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 S, H, W = 11, 256, 256
 
-_PUBLISHED_UNET = dict(
-    in_channels=17, out_channels=8, features=(64, 128, 256, 512, 1024),
-    kernel_size=3, padding_mode="zeros", activation="silu",
-    final_activation=None, attention="3..2", dropout=0.0,
-    time_embedding_dim=64,
-)
+from diffusion_model_project_tpu.utils.config import (
+    PUBLISHED_UNET_KWARGS as _PUBLISHED_UNET)
 
 # Estimated reference throughput on A100 (see module docstring). The e2e FLOP
 # count of this pipeline is ~3.0e13 per volume (50 UNet calls on 11x17x64x64 +

@@ -142,7 +142,8 @@ class LatentDiffusionPredictor:
         image_hw: Tuple[int, int] = (256, 256),
         vae_features: Optional[Tuple[int, int, int]] = None,
     ) -> "LatentDiffusionPredictor":
-        from ..models.vae import REFERENCE_FEATURES, features_from_decoder_params
+        from ..models.vae import (
+            REFERENCE_FEATURES, features_from_decoder_params, validate_features)
 
         model_kwargs = dict(model_kwargs)
         model_kwargs.setdefault("time_embedding_dim", 64)
@@ -154,6 +155,8 @@ class LatentDiffusionPredictor:
             # widths live in the checkpoint's conv shapes — derive, don't trust
             # config (custom-features checkpoints round-trip automatically)
             vae_features = features_from_decoder_params(vae_params["decoder_3d"])
+        elif vae_features is not None:
+            vae_features = validate_features(vae_features)
         vae = DualBranchVAE(latent_channels=latent_channels,
                             features=tuple(vae_features or REFERENCE_FEATURES))
 

@@ -24,10 +24,12 @@ def accumulate_clipped(g_acc, grads, keep, accum_steps: int, max_norm: float = 1
     coefficient matches torch.nn.utils.clip_grad_norm_:
     ``max_norm / (total_norm + 1e-6)`` applied only when < 1.
     """
-    keepf = jnp.asarray(keep).astype(jnp.float32)
+    # jnp.where, NOT keep * g: skipped batches are skipped precisely because
+    # their grads are non-finite, and 0 * NaN = NaN would poison g_acc forever
+    keep_b = jnp.asarray(keep, dtype=bool)
     g_sum = jax.tree_util.tree_map(
-        lambda a, g: a + keepf * (g / accum_steps), g_acc, grads)
+        lambda a, g: jnp.where(keep_b, a + g / accum_steps, a), g_acc, grads)
     gnorm = optax.global_norm(g_sum)
     coef = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
-    scale = jnp.where(keepf > 0, coef, 1.0)
+    scale = jnp.where(keep_b, coef, 1.0)
     return jax.tree_util.tree_map(lambda g: g * scale, g_sum)

@@ -273,6 +273,11 @@ def main(argv=None):
         with open(osp.join(folder, "vae_log.json"), "w") as f:
             json.dump(log, f, indent=2)
 
+    # accumulated gradients persist ACROSS epochs like the reference's .grad
+    # buffers (zeroed only after an optimizer step): if the last batch of an
+    # epoch is skipped exactly on an accumulation boundary, the window's
+    # gradients carry into the next epoch's first step instead of vanishing
+    g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
     for epoch in range(args.num_epochs):
         t0 = time.time()
         if epoch < args.kl_warmup_epochs:
@@ -282,7 +287,6 @@ def main(argv=None):
         print(f"\nEpoch {epoch + 1}/{args.num_epochs} - KL coefficient: {kl_coeff:.6f}")
 
         running_recons = running_kl = 0.0
-        g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         i = -1
         for i, batch in enumerate(train_loader):
             batch = {"velocity": batch["velocity"] / np.asarray(nf),
@@ -306,6 +310,7 @@ def main(argv=None):
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         if i >= 0 and (i + 1) % args.grad_accum != 0:
             params, opt_state = apply_step(params, opt_state, g_acc)
+            g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         if i == -1:
             print("ERROR: No training batches found!")
             continue

@@ -284,11 +284,13 @@ def main(argv=None):
             f.write(serialization.msgpack_serialize(
                 jax.tree_util.tree_map(np.asarray, full)))
 
+    # persists across epochs like the reference's .grad buffers (zeroed only
+    # after an optimizer step) — see train_vae_stage1.py for the rationale
+    g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
     for epoch in range(args.num_epochs):
         t0 = time.time()
         kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
         running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
-        g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
         i = -1
         for i, batch in enumerate(train_loader):
             g_acc, metrics = grad_step(g_acc, trainable, frozen, norm_batch(batch))
@@ -304,6 +306,7 @@ def main(argv=None):
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
         if i >= 0 and (i + 1) % args.grad_accum != 0:
             trainable, opt_state = apply_step(trainable, opt_state, g_acc)
+            g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
         num_train = max(i + 1, 1)
 
         val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}

@@ -14,6 +14,18 @@ import os.path as osp
 from datetime import datetime
 
 
+# The published flagship architecture (decoded from the Zenodo checkpoint
+# dirname; reference config.py defaults + gridsearch winner). Single source
+# for bench.py, scripts/perf_breakdown.py, and __graft_entry__.py so perf
+# numbers, the compile gate, and the profiler always describe the same model.
+PUBLISHED_UNET_KWARGS = dict(
+    in_channels=17, out_channels=8, features=(64, 128, 256, 512, 1024),
+    kernel_size=3, padding_mode="zeros", activation="silu",
+    final_activation=None, attention="3..2", dropout=0.0,
+    time_embedding_dim=64,
+)
+
+
 def str_to_bool(value):
     if isinstance(value, bool):
         return value

@@ -70,3 +70,20 @@ def test_accumulated_not_per_microbatch():
 def optax_norm(tree):
     import optax
     return optax.global_norm(tree)
+
+
+def test_skipped_nan_grads_do_not_poison_accumulator():
+    """Skipped batches are skipped precisely BECAUSE their grads are
+    non-finite; the mask must be a select, not a 0*g multiply (0*NaN=NaN
+    would silently destroy the whole accumulation window and then the
+    params)."""
+    g_acc = [jnp.asarray([0.1, 0.2]), jnp.asarray([[0.3]])]
+    nan_grads = [jnp.full((2,), jnp.nan), jnp.full((1, 1), jnp.inf)]
+    out = accumulate_clipped(g_acc, nan_grads, keep=False, accum_steps=10)
+    for a, o in zip(g_acc, out):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(a))
+    # and under jit (the trainers' grad_step jits this)
+    out_j = jax.jit(lambda a, g: accumulate_clipped(a, g, False, 10))(
+        g_acc, nan_grads)
+    for a, o in zip(g_acc, out_j):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(a))
