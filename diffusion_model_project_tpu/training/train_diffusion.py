@@ -133,6 +133,11 @@ def train(
     best_model_path = osp.join(log_folder, "best_model.msgpack")
     log_path = osp.join(log_folder, "log.json")
 
+    # checkpoints stream out on a background thread (atomic tmp+rename);
+    # epoch N+1 dispatches while epoch N's weights fetch/serialize/write
+    from ..utils.async_ckpt import AsyncCheckpointWriter
+    ckpt_writer = AsyncCheckpointWriter()
+
     for epoch in range(start_epoch, td["num_epochs"]):
         current_lr = learning_rate * (
             td["scheduler"]["gamma"] ** epoch if td["scheduler"]["flag"] else 1.0)
@@ -179,12 +184,13 @@ def train(
             else:
                 log_dict["physics_metrics"][key].append(0.0)
 
-        save_predictor(predictor, model_path)
+        save_predictor(predictor, model_path, writer=ckpt_writer)
         if avg_val_loss < best_loss:
-            save_predictor(predictor, best_model_path)
+            save_predictor(predictor, best_model_path, writer=ckpt_writer)
             best_loss = avg_val_loss
         save_train_state(osp.join(log_folder, "train_state.msgpack"),
-                         predictor, opt_state, epoch, best_loss)
+                         predictor, opt_state, epoch, best_loss,
+                         writer=ckpt_writer)
         with open(log_path, "w") as f:
             json.dump(log_dict, f, indent=4)
 
@@ -193,6 +199,8 @@ def train(
 
         if report_fn is not None:
             report_fn(epoch, avg_val_loss)
+
+    ckpt_writer.close()  # every queued write landed (or raises its failure)
 
     # test evaluation with the best checkpoint
     if test_loader is not None and not math.isinf(best_loss):

@@ -265,11 +265,13 @@ def main(argv=None):
     rng = jax.random.key(args.seed + 1)
     min_kl = 1e-5
 
+    from ..utils.async_ckpt import AsyncCheckpointWriter
+    ckpt_writer = AsyncCheckpointWriter()
+
     def save(folder, params, log):
-        from flax import serialization
-        with open(osp.join(folder, "vae.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(
-                jax.tree_util.tree_map(np.asarray, params)))
+        # weights stream out on the writer thread (atomic tmp+rename); the
+        # tiny json log stays synchronous
+        ckpt_writer.submit(osp.join(folder, "vae.msgpack"), params)
         with open(osp.join(folder, "vae_log.json"), "w") as f:
             json.dump(log, f, indent=2)
 
@@ -339,12 +341,12 @@ def main(argv=None):
         val_loss = avg_recons_val + kl_coeff * avg_kl_val
         if val_loss < best_val_loss:
             best_val_loss = val_loss
-            from flax import serialization
-            with open(osp.join(args.save_dir, "best_model.msgpack"), "wb") as f:
-                f.write(serialization.msgpack_serialize(
-                    jax.tree_util.tree_map(np.asarray, params)))
+            ckpt_writer.submit(
+                osp.join(args.save_dir, "best_model.msgpack"), params)
         print(f"Epoch {epoch + 1}: recons {avg_recons_train:.6f}/{avg_recons_val:.6f} "
               f"kl {avg_kl_train:.2f}/{avg_kl_val:.2f} time {time.time() - t0:.1f}s")
+
+    ckpt_writer.close()  # every queued write landed (or raises its failure)
 
     # final test evaluation
     test_recons = 0.0

@@ -277,12 +277,12 @@ def main(argv=None):
             "velocity_3d": batch["velocity_3d"] / nf, "mask_3d": batch["mask_3d"],
         }
 
+    from ..utils.async_ckpt import AsyncCheckpointWriter
+    ckpt_writer = AsyncCheckpointWriter()
+
     def save(path, trainable):
-        from flax import serialization
-        full = {**trainable, **frozen}
-        with open(path, "wb") as f:
-            f.write(serialization.msgpack_serialize(
-                jax.tree_util.tree_map(np.asarray, full)))
+        # weights stream out on the writer thread (atomic tmp+rename)
+        ckpt_writer.submit(path, {**trainable, **frozen})
 
     # persists across epochs like the reference's .grad buffers (zeroed only
     # after an optimizer step) — see train_vae_stage1.py for the rationale
@@ -344,6 +344,7 @@ def main(argv=None):
               f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
               f"time {time.time() - t0:.1f}s")
 
+    ckpt_writer.close()  # every queued write landed (or raises its failure)
     return trainable, frozen, log_dict
 
 

@@ -1,0 +1,108 @@
+"""Asynchronous, atomic checkpoint writing.
+
+The reference saves with a blocking ``torch.save`` every epoch (reference
+Diffusion_model/train.py, VAE trainers). On TPU the equivalent sync write is
+worse than it looks: ``np.asarray(params)`` blocks the host on ALL in-flight
+device work before the bytes even start moving, so the epoch pipeline drains
+once per epoch. This writer moves the device→host fetch, serialization, and
+disk write onto one background thread — the training loop keeps dispatching
+the next epoch while the previous epoch's weights (an immutable snapshot: jax
+arrays are functional, so the submitted pytree can't be mutated under the
+writer) stream out.
+
+Writes are atomic (tmp file + ``os.replace``): a run killed mid-write never
+leaves a truncated checkpoint behind — the previous complete one survives.
+Per-path ordering is FIFO; ``join()`` drains the queue and re-raises the
+first writer error (also re-raised by the next ``submit`` so failures are
+not silently dropped mid-run).
+"""
+from __future__ import annotations
+
+import atexit
+import os
+import queue
+import threading
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+
+def _default_serialize(tree: Any) -> bytes:
+    from flax import serialization
+
+    return serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, tree))
+
+
+class AsyncCheckpointWriter:
+    """One background thread writing pytrees to disk atomically, in order."""
+
+    def __init__(self, serialize: Callable[[Any], bytes] = _default_serialize):
+        self._serialize = serialize
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+        # if the owner exits without close() (e.g. a pruned trial unwinds the
+        # training loop by exception), still drain queued writes at exit
+        self._atexit = atexit.register(self._q.join)
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, tree = item
+            try:
+                data = self._serialize(tree)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+            except BaseException as e:  # surfaced on join()/next submit()
+                if self._error is None:
+                    self._error = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                f"async checkpoint write failed: {err!r}") from err
+
+    def submit(self, path: str, tree: Any) -> None:
+        """Queue ``tree`` for an atomic write to ``path`` (non-blocking)."""
+        self._raise_pending()
+        if not self._thread.is_alive():
+            raise RuntimeError("AsyncCheckpointWriter already closed")
+        self._q.put((path, tree))
+
+    def join(self) -> None:
+        """Block until every queued write has landed; re-raise any failure."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Drain, stop the thread, re-raise any failure."""
+        self._q.join()
+        self._q.put(None)
+        self._thread.join()
+        atexit.unregister(self._atexit)
+        self._raise_pending()
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # on an exception unwind, still drain (checkpoints already queued are
+        # valid work) but don't mask the original exception with a write error
+        if exc and exc[0] is not None:
+            try:
+                self.close()
+            except RuntimeError:
+                pass
+        else:
+            self.close()

@@ -40,10 +40,15 @@ def predictor_state(predictor) -> dict:
     }
 
 
-def save_predictor(predictor, path: str) -> None:
+def save_predictor(predictor, path: str, writer=None) -> None:
+    """Write predictor weights; with an AsyncCheckpointWriter the device→host
+    fetch + serialization + disk write happen off-thread (utils/async_ckpt)."""
+    state = predictor_state(predictor)
+    if writer is not None:
+        return writer.submit(path, state)
     from flax import serialization
 
-    state = jax.tree_util.tree_map(np.asarray, predictor_state(predictor))
+    state = jax.tree_util.tree_map(np.asarray, state)
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(state))
 
@@ -308,7 +313,8 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
     raise FileNotFoundError(f"No model weights found in {folder}")
 
 
-def save_train_state(path: str, predictor, opt_state, epoch: int, best_loss: float) -> None:
+def save_train_state(path: str, predictor, opt_state, epoch: int,
+                     best_loss: float, writer=None) -> None:
     """Full training-state checkpoint (weights + optimizer + progress) for
     step-level resume — the reference never saves optimizer state
     (SURVEY.md §5: 'resume means reload weights, restart optimizer')."""
@@ -320,6 +326,8 @@ def save_train_state(path: str, predictor, opt_state, epoch: int, best_loss: flo
         "epoch": np.int64(epoch),
         "best_loss": np.float64(best_loss),
     }
+    if writer is not None:
+        return writer.submit(path, state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(

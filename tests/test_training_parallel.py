@@ -226,6 +226,52 @@ def test_tensor_parallel_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_tp_specs_shard_published_flagship_params():
+    """tp_param_specs' path rules must hold on the PUBLISHED architectures,
+    not just the tiny test widths — param shapes come from jax.eval_shape
+    (no init cost). Every heavyweight conv kernel must get a sharded spec."""
+    from jax.sharding import PartitionSpec as P
+    from diffusion_model_project_tpu.models.unet import UNet
+    from diffusion_model_project_tpu.models.vae import DualBranchVAE
+    from diffusion_model_project_tpu.parallel import tp_param_specs
+    from diffusion_model_project_tpu.utils.config import PUBLISHED_UNET_KWARGS
+
+    unet = UNet(**PUBLISHED_UNET_KWARGS)
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, jnp.zeros((1, 64, 64, 17)),
+                            jnp.zeros((1,), jnp.int32)),
+        jax.random.key(0))["params"]
+    specs = tp_param_specs(shapes, tp_size=4)
+    flat = {
+        jax.tree_util.keystr(k): (leaf, spec) for (k, leaf), (_, spec) in zip(
+            jax.tree_util.tree_flatten_with_path(shapes)[0],
+            jax.tree_util.tree_flatten_with_path(specs)[0])}
+    # every conv/dense weight with >=64 output channels is sharded, and the
+    # second conv of each double block is ROW-parallel (input dim)
+    for key, (leaf, spec) in flat.items():
+        if leaf.ndim >= 2 and max(leaf.shape[-2:]) >= 64:
+            assert spec != P(), (key, leaf.shape)
+            if "block2" in key and "conv" in key:
+                assert spec[-2:] == ("model", None), (key, spec)
+            elif "block1" in key and "conv" in key:
+                assert spec[-2:] == (None, "model"), (key, spec)
+
+    vae = DualBranchVAE(latent_channels=8, features=(128, 256, 512))
+    dummy_v = jnp.zeros((1, 3, 32, 32, 3))
+    vshapes = jax.eval_shape(
+        lambda k1, k2: vae.init({"params": k1, "sample": k2},
+                                dummy_v, dummy_v),
+        jax.random.key(0), jax.random.key(1))["params"]
+    vspecs = tp_param_specs(vshapes, tp_size=4)
+    big = [(jax.tree_util.keystr(k), leaf, spec) for (k, leaf), (_, spec) in zip(
+        jax.tree_util.tree_flatten_with_path(vshapes)[0],
+        jax.tree_util.tree_flatten_with_path(vspecs)[0])
+        if leaf.ndim >= 4 and max(leaf.shape[-2:]) >= 128]
+    assert big
+    unsharded = [(k, l.shape) for k, l, s in big if s == P()]
+    assert not unsharded, unsharded
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
