@@ -28,6 +28,10 @@ import numpy as np
 from jax import export as jax_export
 
 
+# container magic for the weights-as-arguments format (see export_sampler)
+_CONTAINER_MAGIC = b"DMTPUSRV1\x00"
+
+
 def export_sampler(
     pred,
     *,
@@ -37,14 +41,28 @@ def export_sampler(
     image_hw: Tuple[int, int] = (256, 256),
     num_slices: int = 11,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    bake_weights: bool = True,
 ) -> bytes:
-    """Serialize ``pred.predict_ddim`` (weights baked in) to a StableHLO blob.
+    """Serialize ``pred.predict_ddim`` to a self-contained serving blob.
 
     The exported callable takes the reference's channels-first inputs
     ``img (B, S, 1, H, W)``, ``velocity_2d (B, S, 3, H, W)`` and a flat
     ``noise`` tensor (the caller's RNG draw — keeps the artifact
     deterministic and RNG-policy-free), and returns the masked, denormalized
     ``(B, S, 3, H, W)`` velocity volume.
+
+    ``bake_weights`` chooses the artifact layout; both are single files that
+    ``load_sampler`` handles transparently:
+
+    - True: weights become StableHLO constants. Zero-argument-surface, but
+      XLA must chew through hundreds of MB of constants at compile time —
+      fine for small/medium models.
+    - False: the predictor pytree is flattened and exported as leading
+      ARGUMENTS (the treedef stays inside the module via tree_unflatten at
+      trace time), and the leaves ship in the same file next to the module.
+      The module stays small and compiles like the in-process pipeline;
+      the serving host still needs no model code — ``load_sampler`` feeds
+      the stored leaves back positionally.
     """
     h, w = image_hw
     s = num_slices
@@ -52,29 +70,68 @@ def export_sampler(
     # channels-first like every public noise arg (reference contract)
     noise_shape = (batch * ld, pred.latent_channels, h // 4, w // 4)
 
-    def sample(img, velocity_2d, noise):
-        return pred.predict_ddim(
-            img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
-
-    args = (
+    data_args = (
         jax.ShapeDtypeStruct((batch, s, 1, h, w), jnp.float32),
         jax.ShapeDtypeStruct((batch, s, 3, h, w), jnp.float32),
         jax.ShapeDtypeStruct(noise_shape, jnp.float32),
     )
+
+    if bake_weights:
+        def sample(img, velocity_2d, noise):
+            return pred.predict_ddim(
+                img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
+
+        exported = jax_export.export(
+            jax.jit(sample), platforms=tuple(platforms))(*data_args)
+        return bytes(exported.serialize())
+
+    leaves, treedef = jax.tree_util.tree_flatten(pred)
+
+    def sample_args(leaf_list, img, velocity_2d, noise):
+        p = jax.tree_util.tree_unflatten(treedef, leaf_list)
+        return p.predict_ddim(
+            img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
+
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype)
+                  for l in leaves]
     exported = jax_export.export(
-        jax.jit(sample), platforms=tuple(platforms))(*args)
-    return bytes(exported.serialize())
+        jax.jit(sample_args), platforms=tuple(platforms))(
+        leaf_specs, *data_args)
+    module = bytes(exported.serialize())
+
+    from flax import serialization
+
+    payload = serialization.msgpack_serialize({
+        "module": module,
+        "leaves": {str(i): np.asarray(l) for i, l in enumerate(leaves)},
+    })
+    return _CONTAINER_MAGIC + payload
 
 
 def load_sampler(blob: bytes):
     """Deserialize an ``export_sampler`` blob into a jittable callable.
 
-    Needs only jax — none of this package's model code. The returned callable
-    is ``f(img, velocity_2d, noise) -> velocity``; wrap it in ``jax.jit`` for
+    Needs only jax (+flax for the weights-as-arguments container) — none of
+    this package's model code. The returned callable is
+    ``f(img, velocity_2d, noise) -> velocity``; wrap it in ``jax.jit`` for
     the usual dispatch caching (the module itself is already lowered).
     """
-    exported = jax_export.deserialize(blob)
-    return exported.call
+    if not blob.startswith(_CONTAINER_MAGIC):
+        exported = jax_export.deserialize(blob)
+        return exported.call
+
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(
+        bytes(blob[len(_CONTAINER_MAGIC):]))
+    exported = jax_export.deserialize(bytearray(payload["module"]))
+    leaves = [jnp.asarray(payload["leaves"][str(i)])
+              for i in range(len(payload["leaves"]))]
+
+    def call(img, velocity_2d, noise):
+        return exported.call(leaves, img, velocity_2d, noise)
+
+    return call
 
 
 def save_sampler(path: str, pred, **kwargs) -> None:

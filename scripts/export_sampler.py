@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--slices", type=int, default=11)
     ap.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering platforms")
+    ap.add_argument("--bake-weights", type=lambda s: s.lower() == "true",
+                    default=False,
+                    help="true: weights as StableHLO constants (small models; "
+                         "compile chews the constants). false (default): "
+                         "weights ship as module arguments in the same file — "
+                         "compiles like the in-process pipeline")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
                     help="backend used for tracing (not the serving target)")
     args = ap.parse_args(argv)
@@ -47,6 +53,7 @@ def main(argv=None):
         args.out, pred, batch=args.batch, num_steps=args.steps,
         image_hw=(args.size, args.size), num_slices=args.slices,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+        bake_weights=args.bake_weights,
     )
     print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes): "
           f"batch={args.batch} steps={args.steps} "
