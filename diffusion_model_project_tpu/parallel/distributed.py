@@ -1,0 +1,72 @@
+"""Multi-host (multi-process) initialization and batch placement.
+
+The reference is strictly single-process (its only parallelism is
+torch.nn.DataParallel over one host's GPUs). The TPU-native multi-host path
+is ``jax.distributed``: every host runs the same program, the coordinator
+wires them into ONE global device set, and the existing data-parallel mesh
+(parallel/mesh.py) simply spans all global devices — the training step does
+not change; XLA's psum rides ICI within a slice and DCN across hosts.
+
+Verified without real multi-host hardware by launching N local processes of
+2 virtual CPU devices each against a localhost coordinator
+(tests/test_distributed.py) — the same code path a real v5e pod slice runs.
+
+Batch placement: each process loads only ITS shard of the global batch (a
+host can't hold remote-device data); ``global_batch_from_local`` assembles
+the global jax.Array from per-process shards via
+``jax.make_array_from_process_local_data``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed from args or environment; no-op when
+    single-process.
+
+    Env fallbacks: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID (mirroring jax.distributed.initialize's own knobs).
+    Returns True iff a multi-process runtime was initialized.
+    """
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if not coordinator or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def process_local_slice(global_batch_size: int) -> slice:
+    """This process's contiguous row range of the global batch (the loader
+    convention: shard i of num_processes, remainder to the last)."""
+    n = jax.process_count()
+    per = global_batch_size // n
+    i = jax.process_index()
+    lo = i * per
+    hi = global_batch_size if i == n - 1 else lo + per
+    return slice(lo, hi)
+
+
+def global_batch_from_local(local_batch: Mapping[str, Any], mesh: Mesh,
+                            global_batch_size: int, axis: str = "data"):
+    """Assemble a batch-sharded global jax.Array pytree from THIS process's
+    local rows (placed on this process's addressable mesh devices)."""
+    def _one(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        global_shape = (global_batch_size,) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return {k: _one(v) for k, v in local_batch.items()}

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     group_dataset.add_argument("--k-folds", type=int, default=5)
 
     group_train.add_argument("--device", type=str, default=None)
+    # multi-host launch (beyond the reference; parallel/distributed.py):
+    # every host runs the same command with its own --process-id
+    group_train.add_argument("--coordinator", type=str, default=None,
+                             help="jax.distributed coordinator host:port")
+    group_train.add_argument("--num-processes", type=int, default=None)
+    group_train.add_argument("--process-id", type=int, default=None)
     group_train.add_argument("--learning-rate", type=float, default=1e-4)
     group_train.add_argument("--weight-decay", type=float, default=0.0)
     group_train.add_argument("--scheduler-flag", type=str_to_bool, default=False)

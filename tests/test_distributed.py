@@ -1,0 +1,137 @@
+"""Multi-host path (parallel/distributed.py): two REAL processes, one global
+mesh.
+
+Launches 2 subprocesses of 2 virtual CPU devices each against a localhost
+coordinator — the same jax.distributed code path a multi-host TPU pod slice
+runs (no multi-host hardware needed). Each process sees only its local batch
+rows; the jitted training step runs on the 4-device global mesh with
+cross-process gradient psums. Both processes must agree with each other AND
+with a single-process run of the identical global batch.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import json, os, sys
+proc_id, num_procs, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from diffusion_model_project_tpu.parallel import (
+    initialize_distributed, make_mesh, global_batch_from_local,
+    process_local_slice, replicate)
+assert initialize_distributed("localhost:" + port, num_procs, proc_id)
+assert jax.device_count() == 2 * num_procs
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+S, H, W, B = 3, 32, 32, 4
+kw = dict(in_channels=9, out_channels=4, features=(8, 16), kernel_size=3,
+          padding_mode="zeros", activation="silu", final_activation=None,
+          attention="", dropout=0.0, time_embedding_dim=16)
+pred = LatentDiffusionPredictor.create(
+    dict(kw), rng=jax.random.key(0), num_slices=S, num_timesteps=20,
+    distance_transform=True, image_hw=(H, W), vae_features=(32, 32, 32))
+
+r = np.random.default_rng(0)
+img = (r.random((B, S, 1, H, W)) > 0.3).astype(np.float32)
+img[:, :, :, 0, 0] = 0.0
+gbatch = dict(
+    img=img,
+    U_2d=r.standard_normal((B, S, 3, H, W)).astype(np.float32),
+    U=r.standard_normal((B, S, 3, H, W)).astype(np.float32))
+
+mesh = make_mesh(("data",))
+sl = process_local_slice(B)
+with mesh:
+    batch = global_batch_from_local(
+        {{k: v[sl] for k, v in gbatch.items()}}, mesh, B)
+    pred_r = replicate(pred, mesh)
+    opt = optax.adam(1e-3)
+    opt_r = replicate(opt.init(pred.unet_params), mesh)
+    step = jax.jit(make_diffusion_train_step(opt))
+    losses = []
+    for i in range(2):
+        pred_r, opt_r, aux = step(pred_r, opt_r, batch, jax.random.key(5))
+        losses.append(float(aux["loss"]))
+leaves = jax.tree_util.tree_leaves(pred_r.unet_params)
+checksum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves))
+json.dump({{"losses": losses, "checksum": checksum}}, open(out_path, "w"))
+jax.distributed.shutdown()
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_global_mesh_matches_single_process(tmp_path):
+    port = str(_free_port())
+    worker = _WORKER.format(repo=REPO)
+    outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_pytest_cache")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(i), "2", port, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-3000:]
+    r0, r1 = (json.load(open(o)) for o in outs)
+    # both processes observe the same global losses and end in the same state
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(r0["checksum"], r1["checksum"], rtol=1e-6)
+
+    # single-process baseline on the SAME global batch (conftest's 8 devices;
+    # data-parallel degree differs, psum order may reassociate -> tolerance)
+    import optax
+    from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+    from diffusion_model_project_tpu.parallel import make_mesh, replicate, shard_batch
+    from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+    S, H, W, B = 3, 32, 32, 4
+    kw = dict(in_channels=9, out_channels=4, features=(8, 16), kernel_size=3,
+              padding_mode="zeros", activation="silu", final_activation=None,
+              attention="", dropout=0.0, time_embedding_dim=16)
+    pred = LatentDiffusionPredictor.create(
+        dict(kw), rng=jax.random.key(0), num_slices=S, num_timesteps=20,
+        distance_transform=True, image_hw=(H, W), vae_features=(32, 32, 32))
+    r = np.random.default_rng(0)
+    img = (r.random((B, S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    batch = {
+        "img": jnp.asarray(img),
+        "U_2d": jnp.asarray(r.standard_normal((B, S, 3, H, W)).astype(np.float32)),
+        "U": jnp.asarray(r.standard_normal((B, S, 3, H, W)).astype(np.float32)),
+    }
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_diffusion_train_step(opt))
+    p1, o1 = pred, opt.init(pred.unet_params)
+    losses = []
+    for i in range(2):
+        p1, o1, aux = step(p1, o1, batch, jax.random.key(5))
+        losses.append(float(aux["loss"]))
+    np.testing.assert_allclose(losses, r0["losses"], rtol=1e-4)

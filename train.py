@@ -24,6 +24,13 @@ def main(argv=None):
         # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
         import jax
         jax.config.update("jax_platforms", args.device)
+    # multi-host: must run before the backend initializes
+    from diffusion_model_project_tpu.parallel import initialize_distributed
+    if initialize_distributed(args.coordinator, args.num_processes,
+                              args.process_id):
+        import jax
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")
     if args.debug_nans:
         from diffusion_model_project_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()
