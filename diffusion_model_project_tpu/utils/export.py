@@ -16,6 +16,15 @@ anyway — a bucket of batch sizes is exported as a bucket of artifacts.
 ``platforms`` defaults to both "tpu" and "cpu" so one artifact serves either
 backend; lowering is platform-tagged StableHLO, so this costs artifact bytes,
 not correctness.
+
+Measured role (PERF.md "Serving-artifact study"): the artifact is the
+PORTABILITY path — correct at every scale, no model code on the host, 19 s
+compile at published scale. It is NOT the throughput path on the current
+toolchain: XLA compiles deserialized modules without its full optimization
+pipeline (~7-10x slower than the same program under in-process jit). For
+throughput serving on a matched toolchain, run the in-process jitted
+pipeline with a persistent JAX_COMPILATION_CACHE_DIR — compile once per
+cluster, cached startup thereafter.
 """
 from __future__ import annotations
 
@@ -109,12 +118,16 @@ def export_sampler(
 
 
 def load_sampler(blob: bytes):
-    """Deserialize an ``export_sampler`` blob into a jittable callable.
+    """Deserialize an ``export_sampler`` blob into a ready callable.
 
     Needs only jax (+flax for the weights-as-arguments container) — none of
     this package's model code. The returned callable is
-    ``f(img, velocity_2d, noise) -> velocity``; wrap it in ``jax.jit`` for
-    the usual dispatch caching (the module itself is already lowered).
+    ``f(img, velocity_2d, noise) -> velocity``. Call it DIRECTLY: the module
+    is already lowered and compiles once on first call. Do NOT wrap it in an
+    outer ``jax.jit`` — re-tracing embeds the weight leaves as HLO constants,
+    exactly the pathological compile the weights-as-arguments layout avoids
+    (measured at published scale: 19 s direct vs a >30 min compile timeout
+    under an outer jit).
     """
     if not blob.startswith(_CONTAINER_MAGIC):
         exported = jax_export.deserialize(blob)

@@ -63,7 +63,10 @@ def main():
     from diffusion_model_project_tpu.utils.export import load_sampler_file
 
     print("device:", jax.devices()[0])
-    f = jax.jit(load_sampler_file(BLOB))
+    # NO outer jax.jit: the exported module is already lowered, and re-tracing
+    # it embeds the weight leaves as HLO constants — the pathological compile
+    # the args-mode layout exists to avoid (measured: 19s vs >30min timeout)
+    f = load_sampler_file(BLOB)
 
     r = np.random.default_rng(0)
     img = (r.random((BATCH, S, 1, H, W)) > 0.3).astype(np.float32)
