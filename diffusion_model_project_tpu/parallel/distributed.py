@@ -49,14 +49,20 @@ def initialize(coordinator: Optional[str] = None,
 
 
 def process_local_slice(global_batch_size: int) -> slice:
-    """This process's contiguous row range of the global batch (the loader
-    convention: shard i of num_processes, remainder to the last)."""
+    """This process's contiguous row range of the global batch.
+
+    Requires the global batch to divide evenly across processes — an uneven
+    split would die later as an opaque shape error inside
+    ``jax.make_array_from_process_local_data``; fail fast here instead.
+    """
     n = jax.process_count()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} must be divisible by the "
+            f"process count {n} (pad or drop the remainder batch).")
     per = global_batch_size // n
     i = jax.process_index()
-    lo = i * per
-    hi = global_batch_size if i == n - 1 else lo + per
-    return slice(lo, hi)
+    return slice(i * per, (i + 1) * per)
 
 
 def global_batch_from_local(local_batch: Mapping[str, Any], mesh: Mesh,

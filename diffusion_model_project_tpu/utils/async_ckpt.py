@@ -36,11 +36,22 @@ def _default_serialize(tree: Any) -> bytes:
 
 
 class AsyncCheckpointWriter:
-    """One background thread writing pytrees to disk atomically, in order."""
+    """One background thread writing pytrees to disk atomically, in order.
 
-    def __init__(self, serialize: Callable[[Any], bytes] = _default_serialize):
+    The queue is BOUNDED (default 1 pending + 1 in flight): a queued snapshot
+    keeps that epoch's device arrays alive, so an unbounded queue lets a slow
+    writer pin several epochs of params/optimizer state in HBM — measured
+    OOMing full-scale diffusion training by epoch 4 on a 15.75 GB chip. When
+    the writer falls behind, ``submit`` blocks instead (graceful degradation
+    toward the reference's synchronous save, with memory bounded at ~2
+    snapshots).
+    """
+
+    def __init__(self, serialize: Callable[[Any], bytes] = _default_serialize,
+                 max_pending: int = 1):
         self._serialize = serialize
-        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue(
+            maxsize=max(1, max_pending))
         self._error: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._run, name="ckpt-writer", daemon=True)

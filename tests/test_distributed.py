@@ -85,10 +85,10 @@ def _free_port():
     return port
 
 
-def test_two_process_global_mesh_matches_single_process(tmp_path):
+def _run_workers(tmp_path, attempt):
     port = str(_free_port())
     worker = _WORKER.format(repo=REPO)
-    outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
+    outs = [str(tmp_path / f"a{attempt}_p{i}.json") for i in range(2)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_pytest_cache")
@@ -97,9 +97,30 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
             [sys.executable, "-c", worker, str(i), "2", port, outs[i]],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)]
-    for p in procs:
-        _, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err[-3000:]
+    errs = []
+    try:
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            errs.append(err)
+        return all(p.returncode == 0 for p in procs), errs, outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+
+def test_two_process_global_mesh_matches_single_process(tmp_path):
+    # Gloo's cross-process rendezvous has a hard 30 s key-exchange deadline;
+    # under full-suite host contention one worker can lag its peer past it
+    # (compile/import skew), so allow one retry — the second attempt runs
+    # with warm caches and passes if the mechanism works at all.
+    for attempt in range(2):
+        ok, errs, outs = _run_workers(tmp_path, attempt)
+        if ok:
+            break
+        skew_flake = any("DEADLINE_EXCEEDED" in e or "Gloo" in e for e in errs)
+        assert attempt == 0 and skew_flake, errs[-1][-3000:]
     r0, r1 = (json.load(open(o)) for o in outs)
     # both processes observe the same global losses and end in the same state
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
