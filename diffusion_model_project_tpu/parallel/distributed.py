@@ -40,7 +40,14 @@ def initialize(coordinator: Optional[str] = None,
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if process_id is None:
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
-    if not coordinator or num_processes <= 1:
+    if coordinator and num_processes <= 1:
+        # a coordinator address IS multi-process intent; silently degrading
+        # to independent single-host training would waste the whole launch
+        raise ValueError(
+            f"--coordinator {coordinator!r} given but num_processes="
+            f"{num_processes}; pass --num-processes/--process-id (or "
+            f"JAX_NUM_PROCESSES/JAX_PROCESS_ID) on every host.")
+    if not coordinator:
         return False
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,

@@ -51,8 +51,14 @@ def _leaf_spec(path, leaf, tp_size: int, axis: str) -> P:
     if len(shape) < 2:
         return P()  # biases / norm params: replicated (see module docstring)
     none = (None,) * (len(shape) - 2)
-    if names and names[-1] == "weight" and len(shape) == 4 and shape[2:] == (2, 2):
-        # ConvTranspose2x2, torch layout (in, out, kh, kw): column-parallel
+    is_convt = (names and names[-1] == "weight" and len(shape) == 4
+                and shape[2:] == (2, 2)
+                # only the UNet Up blocks own ConvTranspose2x2 (param path
+                # ['*_up']['conv']['weight']); shape alone would misread a
+                # regular 2-in/2-out conv kernel as (in, out, kh, kw)
+                and any(str(n).endswith("_up") for n in names))
+    if is_convt:
+        # torch layout (in, out, kh, kw): column-parallel on dim 1
         if shape[1] % tp_size == 0:
             return P(None, axis, None, None)
         return P()

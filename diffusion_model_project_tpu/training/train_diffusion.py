@@ -191,14 +191,27 @@ def train(
         save_train_state(osp.join(log_folder, "train_state.msgpack"),
                          predictor, opt_state, epoch, best_loss,
                          writer=ckpt_writer)
-        with open(log_path, "w") as f:
-            json.dump(log_dict, f, indent=4)
+        # log goes through the same FIFO queue AFTER the weights (encoded
+        # eagerly — log_dict mutates next epoch), so a crash can leave the
+        # log behind the weights but never ahead (reference sync order)
+        ckpt_writer.submit(log_path, json.dumps(log_dict, indent=4).encode(),
+                           serialize=bytes)
 
         print(f"Epoch {epoch}: train_loss={avg_train_loss:.6f} | "
               f"val_loss={avg_val_loss:.6f} | time={dtime:.2f} s")
 
         if report_fn is not None:
-            report_fn(epoch, avg_val_loss)
+            try:
+                report_fn(epoch, avg_val_loss)
+            except BaseException:
+                # pruning unwinds the loop as routine control flow (grid
+                # search runs many train() calls in one process): drain and
+                # release the writer thread, without masking the prune signal
+                try:
+                    ckpt_writer.close()
+                except RuntimeError:
+                    pass
+                raise
 
     ckpt_writer.close()  # every queued write landed (or raises its failure)
 

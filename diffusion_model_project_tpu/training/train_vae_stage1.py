@@ -269,11 +269,12 @@ def main(argv=None):
     ckpt_writer = AsyncCheckpointWriter()
 
     def save(folder, params, log):
-        # weights stream out on the writer thread (atomic tmp+rename); the
-        # tiny json log stays synchronous
+        # weights then log through the same FIFO writer: a crash can leave
+        # the log an epoch behind the weights but never ahead (the log is
+        # encoded eagerly because log_dict mutates next epoch)
         ckpt_writer.submit(osp.join(folder, "vae.msgpack"), params)
-        with open(osp.join(folder, "vae_log.json"), "w") as f:
-            json.dump(log, f, indent=2)
+        ckpt_writer.submit(osp.join(folder, "vae_log.json"),
+                           json.dumps(log, indent=2).encode(), serialize=bytes)
 
     # accumulated gradients persist ACROSS epochs like the reference's .grad
     # buffers (zeroed only after an optimizer step): if the last batch of an

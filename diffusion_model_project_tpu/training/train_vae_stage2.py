@@ -337,8 +337,12 @@ def main(argv=None):
         if current_val_loss < best_val_loss:
             best_val_loss = current_val_loss
             save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
-        with open(osp.join(args.save_dir, "vae_log.json"), "w") as f:
-            json.dump(log_dict, f, indent=2)
+        # log queued AFTER the weights on the same FIFO writer (encoded
+        # eagerly — log_dict mutates next epoch): a crash can leave the log
+        # behind the weights but never ahead
+        ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
+                           json.dumps(log_dict, indent=2).encode(),
+                           serialize=bytes)
         print(f"Epoch {epoch + 1}/{args.num_epochs}: "
               f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
               f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "

@@ -65,9 +65,9 @@ class AsyncCheckpointWriter:
             item = self._q.get()
             if item is None:
                 return
-            path, tree = item
+            path, tree, serialize = item
             try:
-                data = self._serialize(tree)
+                data = (serialize or self._serialize)(tree)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(data)
@@ -84,12 +84,20 @@ class AsyncCheckpointWriter:
             raise RuntimeError(
                 f"async checkpoint write failed: {err!r}") from err
 
-    def submit(self, path: str, tree: Any) -> None:
-        """Queue ``tree`` for an atomic write to ``path`` (non-blocking)."""
+    def submit(self, path: str, tree: Any,
+               serialize: Optional[Callable[[Any], bytes]] = None) -> None:
+        """Queue ``tree`` for an atomic write to ``path``.
+
+        FIFO ordering is part of the contract: submitting the weights and
+        THEN the log file reproduces the reference's crash semantics (a kill
+        mid-epoch can leave the log one epoch behind the weights, never
+        ahead). ``serialize`` overrides the writer default per item (e.g.
+        JSON for log files). Blocks when ``max_pending`` items are queued.
+        """
         self._raise_pending()
         if not self._thread.is_alive():
             raise RuntimeError("AsyncCheckpointWriter already closed")
-        self._q.put((path, tree))
+        self._q.put((path, tree, serialize))
 
     def join(self) -> None:
         """Block until every queued write has landed; re-raise any failure."""

@@ -28,8 +28,7 @@ cluster, cached startup thereafter.
 """
 from __future__ import annotations
 
-import io
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

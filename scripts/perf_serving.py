@@ -5,12 +5,17 @@ a CPU-backend subprocess, then deserializes and times it on the TPU with the
 chained-dispatch methodology (PERF.md): each iteration's noise depends on the
 previous output, so dispatches cannot be elided or reordered by the tunnel.
 
-Expected: matches bench.py's jitted pipeline (same lowered program) — i.e.
-the serving path costs nothing over in-process inference.
+Expected result (PERF.md "Serving-artifact study"): the artifact is CORRECT
+but 7-10x slower than bench.py's in-process jit on this toolchain — XLA
+compiles deserialized modules without its full optimization pipeline. A
+~0.7 volumes/s reading at B=8 is the documented behavior, not a regression.
 
 Env: BENCH_BATCH (8), BENCH_STEPS (50), BENCH_ITERS (5), BENCH_BAKED (0 —
 weights-as-arguments container; 1 bakes weights as constants, whose compile
-at this scale was measured impractical through the tunnel).
+at this scale was measured impractical through the tunnel), BENCH_REEXPORT
+(1 forces re-export: the /tmp blob cache is keyed only by batch/steps/baked,
+so after model or export-code changes a cached blob measures the OLD
+program).
 """
 import os
 import subprocess
@@ -47,7 +52,7 @@ print("exported")
 
 
 def main():
-    if not os.path.exists(BLOB):
+    if os.environ.get("BENCH_REEXPORT") == "1" or not os.path.exists(BLOB):
         t0 = time.time()
         r = subprocess.run([sys.executable, "-c", _EXPORT_CODE],
                            capture_output=True, text=True)

@@ -114,7 +114,11 @@ def main(argv=None):
     log2 = json.load(open(osp.join(s2, "vae_log.json")))
     out["stage2_train_recons2d"] = log2["loss"]["recons_2d_train"]
     out["stage2_train_align"] = log2["loss"]["align_train"]
-    run = os.listdir(dd)[0]
+    # newest run dir: re-running with the same --work-dir adds a second
+    # timestamped folder, and listdir order is arbitrary
+    run = max((d for d in os.listdir(dd)
+               if osp.isdir(osp.join(dd, d))),
+              key=lambda d: osp.getmtime(osp.join(dd, d)))
     log3 = json.load(open(osp.join(dd, run, "log.json")))
     out["diffusion_train_loss"] = log3["train_loss"]
     out["diffusion_val_loss"] = log3["val_loss"]
