@@ -83,6 +83,20 @@ os._exit(0)  # skip atexit hooks that would re-enter the shutdown barrier
 """
 
 
+def test_initialize_rejects_coordinator_without_process_count(monkeypatch):
+    """A coordinator address is explicit multi-process intent — degrading to
+    independent single-host training must raise, not silently no-op."""
+    import pytest
+    from diffusion_model_project_tpu.parallel import initialize_distributed
+
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    with pytest.raises(ValueError, match="num-processes"):
+        initialize_distributed("localhost:12345")
+    # no coordinator anywhere -> clean single-process no-op
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
