@@ -31,6 +31,33 @@ def test_last_write_wins_per_path(tmp_path):
     assert int(got["step"]) == 4
 
 
+def test_fifo_weights_before_log(tmp_path):
+    """The trainers rely on FIFO ordering for crash semantics: the log is
+    queued after the weights, so when the log lands the weights must already
+    be on disk (log can lag the weights, never lead them)."""
+    import time
+
+    weights = str(tmp_path / "weights.msgpack")
+    log = str(tmp_path / "log.json")
+    w = AsyncCheckpointWriter()
+
+    def slow_weights(tree):
+        time.sleep(0.2)
+        return serialization.msgpack_serialize(tree)
+
+    seen = {}
+
+    def log_serialize(payload):
+        seen["weights_present"] = os.path.exists(weights)
+        return payload
+
+    w.submit(weights, {"a": np.zeros(4, np.float32)}, serialize=slow_weights)
+    w.submit(log, b'{"epoch": 0}', serialize=log_serialize)
+    w.close()
+    assert seen["weights_present"] is True
+    assert os.path.exists(log)
+
+
 def test_error_surfaces_on_close(tmp_path):
     w = AsyncCheckpointWriter()
     w.submit(str(tmp_path / "no" / "such" / "dir" / "x.msgpack"),
