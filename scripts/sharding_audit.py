@@ -1,0 +1,104 @@
+"""Audit the collectives XLA inserts for each mesh configuration.
+
+Compiles the real diffusion training step on a virtual 8-device CPU mesh
+under each parallelism config (dp, dp x slice, dp x model, dp x slice x
+model) and counts the collective ops in the optimized HLO — evidence that
+the sharding annotations produce the expected communication pattern (e.g.
+the data-parallel gradient all-reduce exists; tensor parallelism introduces
+reduce-scatter/all-gather around the channel-sharded convs) rather than
+silently replicating.
+
+Run: python scripts/sharding_audit.py   (self-contained; forces CPU)
+"""
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+from diffusion_model_project_tpu.parallel import (
+    make_mesh, replicate, shard_batch, shard_predictor_tp)
+from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
+
+COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all")
+
+
+def collective_counts(compiled) -> Counter:
+    text = compiled.as_text()
+    c = Counter()
+    for op in COLLECTIVES:
+        c[op] = len(re.findall(rf"\b{op}(?:-start)?\(", text))
+    return c
+
+
+def main():
+    S, H, W, B = 4, 32, 32, 8
+    kw = dict(in_channels=9, out_channels=4, features=(8, 16), kernel_size=3,
+              padding_mode="zeros", activation="silu", final_activation=None,
+              attention="", dropout=0.0, time_embedding_dim=16)
+    pred = LatentDiffusionPredictor.create(
+        dict(kw), rng=jax.random.key(0), num_slices=S, num_timesteps=20,
+        distance_transform=True, image_hw=(H, W), vae_features=(32, 32, 32))
+    r = np.random.default_rng(0)
+    img = (r.random((B, S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    batch_np = {
+        "img": img,
+        "U_2d": r.standard_normal((B, S, 3, H, W)).astype(np.float32),
+        "U": r.standard_normal((B, S, 3, H, W)).astype(np.float32),
+    }
+    opt = optax.adam(1e-3)
+    step = make_diffusion_train_step(opt)
+
+    configs = [
+        ("dp(8)", ("data",), None),
+        ("dp(4) x slice(2)", ("data", "slice"), (4, 2)),
+        ("dp(4) x model(2)", ("data", "model"), (4, 2)),
+        ("dp(2) x slice(2) x model(2)", ("data", "slice", "model"), (2, 2, 2)),
+    ]
+    for name, axes, sizes in configs:
+        mesh = make_mesh(axes, sizes)
+        with mesh:
+            if "model" in axes:
+                p = shard_predictor_tp(pred, mesh)
+            else:
+                p = replicate(pred, mesh)
+            if "slice" in axes:
+                b = {k: jax.device_put(v, NamedSharding(
+                        mesh, P("data", "slice", *([None] * (v.ndim - 2)))))
+                     for k, v in batch_np.items()}
+            else:
+                b = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+            o = opt.init(p.unet_params)
+            compiled = jax.jit(step).lower(p, o, b, jax.random.key(0)).compile()
+        counts = collective_counts(compiled)
+        total = sum(counts.values())
+        print(f"{name:30s} total={total:4d}  " +
+              "  ".join(f"{k}={v}" for k, v in counts.items() if v))
+
+    print("\nInterpretation (measured on this toolchain): dp compiles to ONE "
+          "fused all-reduce — the gradient psum; slice adds "
+          "collective-permute halo exchanges for the depth-3 conv3d stencils "
+          "plus boundary all-gathers; model adds the Megatron pattern — "
+          "all-reduces for the row-parallel convs' partial sums and "
+          "all-gathers where activations re-enter replicated ops.")
+
+
+if __name__ == "__main__":
+    main()
