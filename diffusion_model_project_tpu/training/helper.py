@@ -102,7 +102,9 @@ def _batch_dict(data, mesh=None) -> Dict:
     (img, v2d), targets = select_input_output(data)
     batch = {"img": img, "U_2d": v2d, "U": targets}
     if mesh is not None:
-        n = mesh.devices.size
+        # batch shards over the 'data' axis only (a 2-D data x model mesh
+        # replicates batches over 'model'); divisibility is vs data size
+        n = mesh.shape.get("data", mesh.devices.size)
         if img.shape[0] % n == 0:
             from ..parallel import shard_batch
 
@@ -112,9 +114,9 @@ def _batch_dict(data, mesh=None) -> Dict:
             if key not in _WARNED_UNSHARDED:
                 _WARNED_UNSHARDED.add(key)
                 print(f"WARNING: batch size {img.shape[0]} is not divisible by "
-                      f"the {n}-device mesh; running this batch replicated "
-                      f"(~{n}x slower step). Pad the dataset or pick a batch "
-                      f"size divisible by the mesh.")
+                      f"the {n}-device 'data' mesh axis; running this batch "
+                      f"replicated (~{n}x slower step). Pad the dataset or "
+                      f"pick a batch size divisible by the mesh.")
     return batch
 
 

@@ -100,13 +100,29 @@ def train(
 
     mesh = None
     data_parallel = data_parallel and getattr(args, "data_parallel", True)
+    model_parallel = int(getattr(args, "model_parallel", 1) or 1)
     if data_parallel and jax.device_count() > 1:
-        from ..parallel import make_mesh, replicate
+        from ..parallel import make_mesh, replicate, shard_predictor_tp
 
-        mesh = make_mesh(("data",))
-        predictor = replicate(predictor, mesh)
+        n = jax.device_count()
+        if model_parallel > 1:
+            if n % model_parallel:
+                raise ValueError(
+                    f"--model-parallel {model_parallel} must divide the "
+                    f"device count {n}")
+            mesh = make_mesh(("data", "model"),
+                             (n // model_parallel, model_parallel))
+            predictor = shard_predictor_tp(predictor, mesh)
+            print(f"Mesh: data({n // model_parallel}) x "
+                  f"model({model_parallel}) — tensor-parallel weights")
+        else:
+            mesh = make_mesh(("data",))
+            predictor = replicate(predictor, mesh)
+            print(f"Data-parallel mesh over {n} devices")
         opt_state = replicate(opt_state, mesh)
-        print(f"Data-parallel mesh over {jax.device_count()} devices")
+        if model_parallel > 1:
+            # Adam moments follow the param shardings (elementwise init)
+            opt_state = optimizer.init(predictor.unet_params)
 
     rng = jax.random.key(seed + 1)
     step_cache: dict = {}
@@ -128,6 +144,16 @@ def train(
                 prev.get("physics_metrics", {}).get(key, [])[:start_epoch]
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_loss:.6f})")
+        if mesh is not None and model_parallel > 1:
+            # restored arrays land host-side; re-apply the weight shardings.
+            # The restored Adam moments keep their values and are placed by
+            # GSPMD on the first step (replicated — full-state resume is
+            # preserved at a memory cost; the update re-shards them after
+            # one step since the elementwise update follows the grads).
+            from ..parallel import shard_predictor_tp
+
+            predictor = shard_predictor_tp(predictor, mesh)
+            print("Re-sharded restored weights over the model axis")
 
     model_path = osp.join(log_folder, "model.msgpack")
     best_model_path = osp.join(log_folder, "best_model.msgpack")

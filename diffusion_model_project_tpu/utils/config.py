@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                              help="jax.distributed coordinator host:port")
     group_train.add_argument("--num-processes", type=int, default=None)
     group_train.add_argument("--process-id", type=int, default=None)
+    group_train.add_argument("--model-parallel", type=int, default=1,
+                             help="tensor-parallel degree: shard conv/dense "
+                                  "weights over a 'model' mesh axis "
+                                  "(parallel/tp.py); devices must divide "
+                                  "data x model")
     group_train.add_argument("--learning-rate", type=float, default=1e-4)
     group_train.add_argument("--weight-decay", type=float, default=0.0)
     group_train.add_argument("--scheduler-flag", type=str_to_bool, default=False)

@@ -47,6 +47,26 @@ def test_mesh_parallel_training_batch8(shared_data_dir, shared_stage1_dir,
     assert np.isfinite(log2["train_loss"]).all()
 
 
+def test_model_parallel_cli_training(shared_data_dir, shared_stage1_dir,
+                                     tmp_path_factory):
+    """--model-parallel 2 on the 8-device mesh: data(4) x model(2) with
+    tensor-parallel weights, through the real CLI."""
+    import jax
+    assert jax.device_count() >= 8
+    import train as train_cli
+    save_dir = str(tmp_path_factory.mktemp("mp_runs"))
+    train_cli.main([
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "4", "--num-epochs", "1",
+        "--vae-path", shared_stage1_dir, "--shuffle", "true",
+        "--model-parallel", "2",
+    ])
+    runs = os.listdir(save_dir)
+    log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
+    assert np.isfinite(log["train_loss"]).all()
+    assert np.isfinite(log["val_loss"]).all()
+
+
 def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
                                    tmp_path_factory):
     import train as train_cli
