@@ -38,7 +38,9 @@ from ..models.vae import DualBranchVAE
 from ..ops.distance import distance_transform_edt
 from ..ops.normalizer import MaxNormalizer
 from ..ops.resize import interpolate_bilinear, interpolate_trilinear
-from .scheduler import DiffusionScheduler, ddim_timesteps
+from .scheduler import (
+    DiffusionScheduler, ddim_timesteps, dpm_solver_coefficients,
+    linear_alphas_cumprod_f64)
 
 
 def _cf_to_cl(x: jnp.ndarray) -> jnp.ndarray:
@@ -424,6 +426,46 @@ class LatentDiffusionPredictor:
             return x, None
 
         x, _ = jax.lax.scan(step, x, pairs)
+        return self._decode_and_finish(x, img, b, ld, lh, lw)
+
+    def predict_dpm(
+        self,
+        img: jnp.ndarray,
+        velocity_2d: jnp.ndarray,
+        num_steps: int = 10,
+        *,
+        order: int = 2,
+        noise: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """DPM-Solver++ (multistep, deterministic) sampling fused into one
+        lax.scan. Beyond the reference's DDPM/DDIM samplers: a second-order
+        ODE solver over the same noise schedule and timestep spacing that
+        reaches DDIM-50 quality in ~10 UNet evaluations. ``order=1`` is
+        mathematically DDIM(eta=0) when the +/-30 x0 clip is inactive.
+        Coefficients precomputed on host (see scheduler.dpm_solver_coefficients).
+        """
+        b, s = img.shape[0], velocity_2d.shape[1]
+        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
+        z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
+        shape = (b * ld, lh, lw, self.latent_channels)
+        x = self._init_latent_noise(shape, noise, rng)
+
+        ts = ddim_timesteps(self.num_timesteps, num_steps)
+        coefs = dpm_solver_coefficients(
+            linear_alphas_cumprod_f64(self.num_timesteps), ts, order=order)
+
+        def step(carry, c):
+            x, prev_x0 = carry
+            t_batch = jnp.full((b * ld,), c["t"], jnp.int32)
+            eps = self._unet_eps(x, z_cond, m_cond, t_batch)
+            x0 = (x - c["sigma_cur"] * eps) / jnp.maximum(c["alpha_cur"], 1e-8)
+            x0 = jnp.clip(x0, -30.0, 30.0)
+            d = x0 + c["c2"] * (x0 - prev_x0)
+            x = c["sigma_ratio"] * x + c["x0_coef"] * d
+            return (x, x0), None
+
+        (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), coefs)
         return self._decode_and_finish(x, img, b, ld, lh, lw)
 
     # --------------------------------------------------------------- pytree

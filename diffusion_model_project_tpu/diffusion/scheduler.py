@@ -49,7 +49,7 @@ class DiffusionScheduler:
         # reference's registered buffers).
         betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
         alphas = 1.0 - betas
-        alphas_cumprod = np.cumprod(alphas)
+        alphas_cumprod = linear_alphas_cumprod_f64(num_timesteps, beta_start, beta_end)
         alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
 
         posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
@@ -169,6 +169,66 @@ class DiffusionScheduler:
     @classmethod
     def tree_unflatten(cls, num_timesteps, children):
         return cls(num_timesteps, *children)
+
+
+def linear_alphas_cumprod_f64(
+    num_timesteps: int, beta_start: float = 1e-4, beta_end: float = 0.02
+) -> np.ndarray:
+    """The linear-beta cumulative-alpha table in float64 on host. Usable at
+    trace time (the device copies inside a jitted DiffusionScheduler are
+    tracers, so host-side coefficient precomputation recomputes the table)."""
+    betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+    return np.cumprod(1.0 - betas)
+
+
+def dpm_solver_coefficients(
+    alphas_cumprod: np.ndarray, ts: np.ndarray, order: int = 2
+) -> dict:
+    """Static per-step coefficients for DPM-Solver++ multistep sampling
+    (Lu et al. 2022, arXiv:2211.01095; data-prediction / "++" formulation).
+
+    This sampler goes beyond the reference (which only has DDPM/DDIM,
+    Diffusion_model/src/diffusion.py:152-234): a second-order multistep ODE
+    solver reaches DDIM-50 quality in ~10 steps. With ``order=1`` the update
+    is mathematically identical to DDIM(eta=0) whenever the x0 clip is
+    inactive — the parity anchor tests/test_dpm_sampler.py exploits.
+
+    The solver moves along nodes ``ts`` (descending timesteps) plus a final
+    boundary node at alpha_bar=1 (fully denoised). In log-SNR coordinates
+    lambda = log(alpha/sigma), one step from node i to i+1 is::
+
+        x_{i+1} = (sigma_{i+1}/sigma_i) * x_i - alpha_{i+1}*expm1(-h_i) * D_i
+
+    where h_i = lambda_{i+1}-lambda_i and D_i is the (possibly second-order
+    extrapolated) x0 prediction. All math in float64 on host, stored float32
+    (the project's scheduler-table convention).
+
+    Returns arrays of length len(ts): t (int32 UNet timestep), alpha_cur,
+    sigma_cur (eps -> x0 conversion at the current node), sigma_ratio,
+    x0_coef (the two update coefficients), and c2 (second-order correction
+    weight h_i/(2*h_{i-1}); zero on first/final steps, which are first-order
+    — the standard multistep warm-up and "lower-order-final" rule that also
+    keeps the h=inf boundary step finite).
+    """
+    abar = np.asarray(alphas_cumprod, np.float64)[np.asarray(ts, np.int64)]
+    alpha = np.concatenate([np.sqrt(abar), [1.0]])
+    sigma = np.concatenate([np.sqrt(1.0 - abar), [0.0]])
+    with np.errstate(divide="ignore"):
+        lam = np.log(alpha) - np.log(sigma)          # +inf at the boundary
+    h = np.diff(lam)                                  # per-step, len(ts)
+    with np.errstate(over="ignore"):
+        x0_coef = -alpha[1:] * np.expm1(-h)           # boundary: -1*(-1) = 1
+    sigma_ratio = np.divide(
+        sigma[1:], sigma[:-1], out=np.zeros_like(h), where=sigma[:-1] > 0)
+    c2 = np.zeros_like(h)
+    if order >= 2 and len(h) > 2:
+        c2[1:-1] = h[1:-1] / (2.0 * h[:-2])
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return dict(
+        t=jnp.asarray(np.asarray(ts, np.int64), jnp.int32),
+        alpha_cur=f32(alpha[:-1]), sigma_cur=f32(sigma[:-1]),
+        sigma_ratio=f32(sigma_ratio), x0_coef=f32(x0_coef), c2=f32(c2),
+    )
 
 
 def ddim_timesteps(num_timesteps: int, num_steps: int) -> np.ndarray:

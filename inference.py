@@ -27,7 +27,8 @@ def parse_args(argv=None):
                         help="Test-split sample index")
     parser.add_argument("--input-file", type=str, default=None,
                         help="Optional .pt/.npz file with microstructure + velocity_input")
-    parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=["ddpm", "ddim", "dpm"])
     parser.add_argument("--steps", type=int, default=50, help="DDIM steps")
     parser.add_argument("--seed", type=int, default=2024)
     parser.add_argument("--output", type=str, default=None,
@@ -135,6 +136,9 @@ def main(argv=None):
     if args.sampler == "ddim":
         fn = jax.jit(lambda p, i, v, k: p.predict_ddim(i, v, num_steps=args.steps,
                                                        eta=0.0, rng=k))
+    elif args.sampler == "dpm":
+        fn = jax.jit(lambda p, i, v, k: p.predict_dpm(i, v, num_steps=args.steps,
+                                                      rng=k))
     else:
         fn = jax.jit(lambda p, i, v, k: p.predict(i, v, rng=k))
     prediction = np.asarray(jax.block_until_ready(fn(predictor, img_j, v2d_j, rng)))

@@ -47,7 +47,10 @@ def parse_args(argv=None):
     parser.add_argument("--index", type=int, default=None)
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--sampler", type=str, default="ddim", choices=["ddpm", "ddim"])
+    parser.add_argument("--sampler", type=str, default="ddim",
+                        choices=["ddpm", "ddim", "dpm"],
+                        help="dpm = DPM-Solver++(2M), beyond the reference: "
+                             "~DDIM-50 quality in ~10 steps")
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--save-csv", type=str, default=None)
@@ -154,6 +157,11 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
         def predict_fn(pred, img, v2d, target, noise, rng):
             return pred.predict_ddim(img, v2d, num_steps=num_steps, eta=0.0,
                                      noise=noise, rng=rng)
+    elif sampler == "dpm":
+        @jax.jit
+        def predict_fn(pred, img, v2d, target, noise, rng):
+            return pred.predict_dpm(img, v2d, num_steps=num_steps,
+                                    noise=noise, rng=rng)
     else:
         @jax.jit
         def predict_fn(pred, img, v2d, target, noise, rng):

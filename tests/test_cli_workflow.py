@@ -93,6 +93,25 @@ def test_eval_testset_end2end_cli(data_dir, diffusion_dir, stage1_dir, stage2_di
     assert osp.exists(osp.join(out_dir, "results.csv"))
 
 
+def test_eval_cli_dpm_sampler(data_dir, diffusion_dir, stage1_dir, stage2_dir, tmp_path):
+    sys.path.insert(0, osp.join(REPO, "scripts"))
+    import importlib
+    eval_mod = importlib.import_module("eval_testset_end2end")
+    out_dir = str(tmp_path / "eval_dpm_out")
+    eval_mod.main([
+        "--diffusion-model-path", diffusion_dir,
+        "--vae-encoder-path", stage2_dir, "--vae-decoder-path", stage1_dir,
+        "--dataset-dir", data_dir, "--sampler", "dpm", "--steps", "3",
+        "--num-samples", "1", "--output-dir", out_dir,
+    ])
+    import os
+    json_files = [f for f in os.listdir(out_dir)
+                  if f.startswith("eval_results_diffusion_dpm_3steps")]
+    assert json_files, os.listdir(out_dir)
+    results = json.load(open(osp.join(out_dir, json_files[0])))
+    assert np.isfinite(results["per_sample_results"][0]["nmae_total"])
+
+
 def test_eval_sanity_mode(data_dir, diffusion_dir, stage1_dir, stage2_dir, tmp_path):
     sys.path.insert(0, osp.join(REPO, "scripts"))
     import importlib
