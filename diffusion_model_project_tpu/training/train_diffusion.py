@@ -19,9 +19,10 @@ import math
 import os.path as osp
 import random as pyrandom
 import time
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -38,15 +39,55 @@ _PHYSICS_LOG_KEYS = [
 ]
 
 
-def make_optimizer(learning_rate: float, weight_decay: float = 0.0):
+class EmaState(NamedTuple):
+    """Chain-tail state holding the exponential moving average of the params."""
+    ema: dict
+
+
+def _ema_tracker(decay: float) -> "optax.GradientTransformation":
+    """Appended at the END of the optimizer chain: passes updates through
+    unchanged while tracking ema <- decay*ema + (1-decay)*new_params.
+    Living inside opt_state, the EMA is persisted by save_train_state,
+    replicated/sharded by the mesh code, and costs one extra param-sized
+    buffer only when enabled (the reference has no EMA at all)."""
+    def init(params):
+        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        assert params is not None, "ema tracker needs params"
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state):
+    """Extract the EMA param tree from an optimizer state (None if the
+    optimizer was built without ema_decay)."""
+    leaves = jax.tree_util.tree_flatten(
+        opt_state, is_leaf=lambda s: isinstance(s, EmaState))[0]
+    for leaf in leaves:
+        if isinstance(leaf, EmaState):
+            return leaf.ema
+    return None
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 0.0,
+                   ema_decay: float = 0.0):
     """torch.optim.Adam semantics: L2 penalty added to the gradient BEFORE the
-    Adam moments (not AdamW's decoupled decay)."""
+    Adam moments (not AdamW's decoupled decay). ema_decay > 0 additionally
+    tracks an exponential moving average of the weights (an extension over
+    the reference — standard practice for diffusion models)."""
     def _make(learning_rate):
         parts = []
         if weight_decay > 0:
             parts.append(optax.add_decayed_weights(weight_decay))
         parts.append(optax.scale_by_adam())
         parts.append(optax.scale_by_learning_rate(learning_rate))
+        if ema_decay > 0:
+            parts.append(_ema_tracker(ema_decay))
         return optax.chain(*parts)
 
     return optax.inject_hyperparams(_make)(learning_rate=learning_rate)
@@ -95,8 +136,12 @@ def train(
         predictor = predictor.with_compute_dtype(compute_dtype)
         print(f"Network compute dtype: {compute_dtype}")
 
-    optimizer = make_optimizer(learning_rate, td["weight_decay"])
+    ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    optimizer = make_optimizer(learning_rate, td["weight_decay"],
+                               ema_decay=ema_decay)
     opt_state = optimizer.init(predictor.unet_params)
+    if ema_decay > 0:
+        print(f"Tracking EMA weights (decay {ema_decay}) -> ema_model.msgpack")
 
     mesh = None
     data_parallel = data_parallel and getattr(args, "data_parallel", True)
@@ -211,6 +256,12 @@ def train(
                 log_dict["physics_metrics"][key].append(0.0)
 
         save_predictor(predictor, model_path, writer=ckpt_writer)
+        if ema_decay > 0:
+            import dataclasses as _dc
+            ema = ema_params(opt_state)
+            save_predictor(_dc.replace(predictor, unet_params=ema),
+                           osp.join(log_folder, "ema_model.msgpack"),
+                           writer=ckpt_writer)
         if avg_val_loss < best_loss:
             save_predictor(predictor, best_model_path, writer=ckpt_writer)
             best_loss = avg_val_loss

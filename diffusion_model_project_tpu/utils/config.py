@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     group_train.add_argument("--compute-dtype", type=str, default="float32",
                              choices=["float32", "bfloat16"],
                              help="Network compute dtype (scheduler/normalization stay f32).")
+    group_train.add_argument("--ema-decay", type=float, default=0.0,
+                             help="Track an exponential moving average of the UNet weights "
+                                  "(saved per epoch as ema_model.msgpack; 0 = off). "
+                                  "Standard diffusion practice the reference lacks.")
     group_train.add_argument("--data-parallel", type=str_to_bool, default=True,
                              help="Enter a 1-D 'data' mesh over all visible devices "
                                   "(the TPU-native torch.nn.DataParallel replacement). "

@@ -59,6 +59,9 @@ def parse_args(argv=None):
     parser.add_argument("--sanity-mode", action="store_true",
                         help="VAE-ONLY mode: bypass diffusion, test VAE reconstruction only")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Prefer ema_model.msgpack (written by train.py "
+                             "--ema-decay) over best_model/model weights")
     parser.add_argument("--noise-dir", type=str, default=None,
                         help="Directory with <sample_idx>.npy initial-noise tensors "
                              "(channels-first) for exact parity with reference runs")
@@ -90,8 +93,12 @@ def load_model_and_config(args, image_hw):
         predictor_kwargs["vae_decoder_path"] = args.vae_decoder_path
     pred, vae_norm_factors = build_predictor(predictor_kwargs, image_hw=image_hw)
 
-    # diffusion weights: best_model first (reference inference.py:48-55)
-    for name in ("best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"):
+    # diffusion weights: best_model first (reference inference.py:48-55);
+    # --use-ema prefers the EMA weights written by train.py --ema-decay
+    chain = ("best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt")
+    if getattr(args, "use_ema", False):
+        chain = ("ema_model.msgpack",) + chain
+    for name in chain:
         path = osp.join(args.diffusion_model_path, name)
         if osp.exists(path):
             if name.endswith(".msgpack"):
