@@ -46,12 +46,15 @@ def export_sampler(
     batch: int,
     num_steps: int = 50,
     eta: float = 0.0,
+    sampler: str = "ddim",
     image_hw: Tuple[int, int] = (256, 256),
     num_slices: int = 11,
     platforms: Sequence[str] = ("tpu", "cpu"),
     bake_weights: bool = True,
 ) -> bytes:
-    """Serialize ``pred.predict_ddim`` to a self-contained serving blob.
+    """Serialize the sampling pipeline to a self-contained serving blob
+    (``sampler``: "ddim" or "dpm" — DPM-Solver++(2M), ~DDIM-50 quality in
+    ~10 steps).
 
     The exported callable takes the reference's channels-first inputs
     ``img (B, S, 1, H, W)``, ``velocity_2d (B, S, 3, H, W)`` and a flat
@@ -84,10 +87,17 @@ def export_sampler(
         jax.ShapeDtypeStruct(noise_shape, jnp.float32),
     )
 
+    def _predict(p, img, velocity_2d, noise):
+        if sampler == "dpm":
+            return p.predict_dpm(
+                img, velocity_2d, num_steps=num_steps, noise=noise)
+        assert sampler == "ddim", f"unknown sampler {sampler!r}"
+        return p.predict_ddim(
+            img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
+
     if bake_weights:
         def sample(img, velocity_2d, noise):
-            return pred.predict_ddim(
-                img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
+            return _predict(pred, img, velocity_2d, noise)
 
         exported = jax_export.export(
             jax.jit(sample), platforms=tuple(platforms))(*data_args)
@@ -97,8 +107,7 @@ def export_sampler(
 
     def sample_args(leaf_list, img, velocity_2d, noise):
         p = jax.tree_util.tree_unflatten(treedef, leaf_list)
-        return p.predict_ddim(
-            img, velocity_2d, num_steps=num_steps, eta=eta, noise=noise)
+        return _predict(p, img, velocity_2d, noise)
 
     leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype)
                   for l in leaves]

@@ -37,6 +37,8 @@ def main(argv=None):
                          "compile chews the constants). false (default): "
                          "weights ship as module arguments in the same file — "
                          "compiles like the in-process pipeline")
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+                    help="dpm = DPM-Solver++(2M): ~DDIM-50 quality in ~10 steps")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
                     help="backend used for tracing (not the serving target)")
     args = ap.parse_args(argv)
@@ -53,7 +55,7 @@ def main(argv=None):
         args.out, pred, batch=args.batch, num_steps=args.steps,
         image_hw=(args.size, args.size), num_slices=args.slices,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
-        bake_weights=args.bake_weights,
+        bake_weights=args.bake_weights, sampler=args.sampler,
     )
     print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes): "
           f"batch={args.batch} steps={args.steps} "

@@ -112,6 +112,36 @@ def test_eval_cli_dpm_sampler(data_dir, diffusion_dir, stage1_dir, stage2_dir, t
     assert np.isfinite(results["per_sample_results"][0]["nmae_total"])
 
 
+def test_eval_cli_batched_matches_single(data_dir, diffusion_dir, stage1_dir,
+                                         stage2_dir, tmp_path):
+    """--batch-size N must reproduce the B=1 per-sample results (per-sample
+    seeded noise; 3 samples at batch 2 exercises the pad-and-drop path)."""
+    sys.path.insert(0, osp.join(REPO, "scripts"))
+    import importlib
+    eval_mod = importlib.import_module("eval_testset_end2end")
+
+    results = {}
+    for bs in ("1", "2"):
+        out_dir = str(tmp_path / f"eval_b{bs}")
+        eval_mod.main([
+            "--diffusion-model-path", diffusion_dir,
+            "--vae-encoder-path", stage2_dir, "--vae-decoder-path", stage1_dir,
+            "--dataset-dir", data_dir, "--sampler", "ddim", "--steps", "2",
+            "--num-samples", "3", "--batch-size", bs, "--output-dir", out_dir,
+        ])
+        import os
+        fname = [f for f in os.listdir(out_dir) if f.endswith(".json")][0]
+        results[bs] = json.load(open(osp.join(out_dir, fname)))["per_sample_results"]
+
+    assert [r["sample_id"] for r in results["1"]] == \
+           [r["sample_id"] for r in results["2"]]
+    for r1, r2 in zip(results["1"], results["2"]):
+        np.testing.assert_allclose(r1["nmae_total"], r2["nmae_total"],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(r1["mae_total"], r2["mae_total"],
+                                   rtol=1e-5, atol=1e-9)
+
+
 def test_eval_sanity_mode(data_dir, diffusion_dir, stage1_dir, stage2_dir, tmp_path):
     sys.path.insert(0, osp.join(REPO, "scripts"))
     import importlib

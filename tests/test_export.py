@@ -46,6 +46,24 @@ def test_export_round_trip_matches_jitted_sampler():
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(served))
 
 
+def test_export_dpm_sampler_round_trip():
+    pred = _tiny_pred()
+    blob = export_sampler(pred, batch=1, num_steps=3, image_hw=(H, W),
+                          num_slices=S, platforms=("cpu",), sampler="dpm")
+    r = np.random.default_rng(5)
+    img = (r.random((1, S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    v2d = r.standard_normal((1, S, 3, H, W)).astype(np.float32)
+    noise = r.standard_normal((3, 4, 8, 8)).astype(np.float32)
+
+    direct = jax.jit(
+        lambda i, v, n: pred.predict_dpm(i, v, num_steps=3, noise=n))(
+        jnp.asarray(img), jnp.asarray(v2d), jnp.asarray(noise))
+    served = load_sampler(blob)(
+        jnp.asarray(img), jnp.asarray(v2d), jnp.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(served))
+
+
 def test_export_weights_as_arguments_mode():
     """bake_weights=False ships the weights as module ARGUMENTS in the same
     container file (small module, fast compile for big models); the loader

@@ -67,6 +67,30 @@ def test_model_parallel_cli_training(shared_data_dir, shared_stage1_dir,
     assert np.isfinite(log["val_loss"]).all()
 
 
+def test_cv_mode_trains_each_fold(shared_data_dir, shared_stage1_dir,
+                                  shared_stage2_dir, tmp_path_factory):
+    """--mode CV runs one training per fold with kfold-i.k run names
+    (reference train.py modes train/CV/optimize; CV at train.py:361-374)."""
+    import train as train_cli
+    save_dir = str(tmp_path_factory.mktemp("cv_runs"))
+    train_cli.main([
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", "1",
+        "--mode", "CV", "--k-folds", "2",
+        "--vae-encoder-path", shared_stage2_dir,
+        "--vae-decoder-path", shared_stage1_dir,
+        "--data-parallel", "false",
+    ])
+    runs = sorted(os.listdir(save_dir))
+    assert len(runs) == 2, runs
+    for i, run in enumerate(runs):
+        assert f"kfold-{i + 1}.2" in run, run
+        log = json.load(open(osp.join(save_dir, run, "log.json")))
+        assert len(log["train_loss"]) == 1
+        assert np.isfinite(log["train_loss"][0])
+        assert osp.exists(osp.join(save_dir, run, "model.msgpack"))
+
+
 def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
                                    tmp_path_factory):
     import train as train_cli
