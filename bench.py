@@ -132,6 +132,7 @@ def main():
     # steps (pair with BENCH_STEPS=10). Off by default: the headline metric
     # stays the reference's own benchmark (DDIM at 50 steps).
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
+    assert sampler in ("ddim", "dpm"), f"BENCH_SAMPLER must be ddim|dpm, got {sampler}"
 
     @jax.jit
     def e2e(pred, img, v2d, rng):

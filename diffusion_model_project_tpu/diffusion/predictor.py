@@ -76,6 +76,10 @@ class LatentDiffusionPredictor:
     # static-weight quantization is safe; accuracy is measured e2e in
     # tests/test_quant.py and gated well inside the 1e-3 parity budget.
     vae_int8: bool = False
+    # optional NamedSharding over the fused batch*latent-slice axis: shards
+    # one volume's reverse-diffusion scan across chips for serving latency
+    # (see with_latent_sharding). Static/aux — part of the compiled program.
+    latent_sharding: object = None
     # run the UNet's convolutions in dynamic int8 during sampling. The UNet is
     # frozen at inference; its convs run at ~100 TFLOP/s bf16 (near their
     # structural roofline, scripts/perf_probe_unet.py) so int8 is the one lever
@@ -102,6 +106,28 @@ class LatentDiffusionPredictor:
 
     def with_unet_int8(self, enabled: bool = True) -> "LatentDiffusionPredictor":
         return dataclasses.replace(self, unet_int8=enabled)
+
+    def with_latent_sharding(self, mesh, axis: str = "slice"
+                             ) -> "LatentDiffusionPredictor":
+        """Shard the fused batch*latent-slice axis over a mesh axis for
+        SINGLE-SAMPLE serving latency (beyond the reference, which has no
+        inference parallelism): each slice is denoised independently in the
+        DDIM/DPM/DDPM scan, so the UNet work for one volume spreads across
+        chips; GSPMD inserts the gathers the cross-slice Conv3D stages (E2D
+        conditioning, D3D decode) need. Complements batch sharding
+        (parallel.shard_batch), which scales throughput, not latency."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(axis))
+        return dataclasses.replace(self, latent_sharding=sharding)
+
+    def _shard_latents(self, *arrays):
+        """Apply the latent-axis sharding constraint (no-op when unset)."""
+        if self.latent_sharding is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        out = tuple(jax.lax.with_sharding_constraint(a, self.latent_sharding)
+                    for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     def _vae_apply(self, *args, **kwargs):
         """vae.apply, optionally tracing its Convs through the int8 path."""
@@ -353,6 +379,7 @@ class LatentDiffusionPredictor:
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
         shape = (b * ld, lh, lw, self.latent_channels)
         x = self._init_latent_noise(shape, noise, rng)
+        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
         step_rng = rng if rng is not None else jax.random.key(0)
 
         if self.num_timesteps == 1:
@@ -406,6 +433,7 @@ class LatentDiffusionPredictor:
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
         shape = (b * ld, lh, lw, self.latent_channels)
         x = self._init_latent_noise(shape, noise, rng)
+        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
         step_rng = rng if rng is not None else jax.random.key(0)
 
         ts = ddim_timesteps(self.num_timesteps, num_steps)
@@ -450,6 +478,7 @@ class LatentDiffusionPredictor:
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
         shape = (b * ld, lh, lw, self.latent_channels)
         x = self._init_latent_noise(shape, noise, rng)
+        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
 
         ts = ddim_timesteps(self.num_timesteps, num_steps)
         coefs = dpm_solver_coefficients(
@@ -473,7 +502,7 @@ class LatentDiffusionPredictor:
     _LEAF_FIELDS = ("unet_params", "vae_params", "scheduler", "norm_input", "norm_output")
     _AUX_FIELDS = ("unet", "vae", "num_slices", "num_timesteps",
                    "distance_transform", "compute_dtype", "vae_depth_factor",
-                   "vae_int8", "unet_int8")
+                   "vae_int8", "unet_int8", "latent_sharding")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._LEAF_FIELDS)

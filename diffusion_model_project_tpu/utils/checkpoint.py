@@ -352,7 +352,14 @@ def load_train_state(path: str, predictor, opt_state):
         norm_input=MaxNormalizer(ps["norm_input"]),
         norm_output=MaxNormalizer(ps["norm_output"]),
     )
-    opt_state = serialization.from_state_dict(opt_state, state["opt_state"])
+    try:
+        opt_state = serialization.from_state_dict(opt_state, state["opt_state"])
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"Optimizer state in {path} does not match the optimizer built "
+            f"from the current flags — resume with the same optimizer-shaping "
+            f"flags the run was trained with (e.g. --ema-decay on/off must "
+            f"match). Original error: {e}") from e
     return predictor, opt_state, int(state["epoch"]) + 1, float(state["best_loss"])
 
 
