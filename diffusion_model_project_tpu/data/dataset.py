@@ -28,11 +28,47 @@ import numpy as np
 
 
 def _load_pt(path: str) -> np.ndarray:
-    """Deserialize one .pt tensor to numpy (torch only used for IO)."""
+    """Deserialize one .pt tensor to numpy (torch only used for IO).
+
+    First load writes a sibling ``.npy_cache/<name>.<size>.<mtime_ns>.npy``;
+    later loads memory-map it read-only (no pickle parse, lazy page-in —
+    matters at the real dataset's 2.1 GB scale; SURVEY.md §7 "cached as
+    npy/zarr"). Per-sample ``astype`` copies downstream, so the read-only
+    mapping never leaks into mutable code paths. The source file's
+    size+mtime is part of the cache name, so edits invalidate naturally.
+    Set DIFFUSION_TPU_NPY_CACHE=0 to disable; cache writes fail soft on
+    read-only dataset dirs."""
+    if os.environ.get("DIFFUSION_TPU_NPY_CACHE", "1") != "0":
+        try:
+            st = os.stat(path)
+            cache_dir = osp.join(osp.dirname(path), ".npy_cache")
+            name = osp.basename(path)
+            cache = osp.join(cache_dir,
+                             f"{name}.{st.st_size}.{st.st_mtime_ns}.npy")
+            if osp.exists(cache):
+                return np.load(cache, mmap_mode="r")
+        except OSError:
+            cache = None
+    else:
+        cache = None
+
     import torch
 
     data = torch.load(path, map_location="cpu", weights_only=False)
-    return np.asarray(data.detach().cpu().numpy() if hasattr(data, "detach") else data)
+    arr = np.asarray(data.detach().cpu().numpy() if hasattr(data, "detach") else data)
+    if cache is not None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            for stale in os.listdir(cache_dir):
+                if stale.startswith(name + ".") and stale.endswith(".npy"):
+                    os.remove(osp.join(cache_dir, stale))
+            tmp = cache + f".tmp{os.getpid()}.npy"  # np.save keeps .npy names
+            np.save(tmp, arr)
+            os.replace(tmp, cache)
+            return np.load(cache, mmap_mode="r")
+        except OSError:
+            pass
+    return arr
 
 
 def _rotate_y_field(x: np.ndarray) -> np.ndarray:

@@ -280,7 +280,8 @@ def build_predictor(
 
 def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = True,
                              vae_path_overrides: Optional[dict] = None,
-                             model_kwargs_overrides: Optional[dict] = None):
+                             model_kwargs_overrides: Optional[dict] = None,
+                             use_ema: bool = False):
     """Rebuild a predictor from a run dir's log.json + weights
     (native model.msgpack preferred, reference model.pt accepted).
     vae_path_overrides may remap vae_path / vae_encoder_path /
@@ -303,6 +304,10 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
 
     names = (["best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"]
              if best else ["model.msgpack", "model.pt"])
+    if use_ema:
+        # EMA weights written by train.py --ema-decay (extension; falls back
+        # down the normal chain if the run tracked no EMA)
+        names = ["ema_model.msgpack"] + names
     for name in names:
         path = osp.join(folder, name)
         if osp.exists(path):

@@ -35,6 +35,8 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=2024)
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Prefer ema_model.msgpack (train.py --ema-decay)")
     args = parser.parse_args(argv)
     if args.device:
         jax.config.update("jax_platforms", args.device)
@@ -58,7 +60,8 @@ def main(argv=None):
     sample0 = test_loader.dataset[0]
     image_hw = tuple(sample0["microstructure"].shape[-2:])
     try:
-        predictor, _ = predictor_from_directory(model_dir, image_hw=image_hw)
+        predictor, _ = predictor_from_directory(model_dir, image_hw=image_hw,
+                                                use_ema=args.use_ema)
     except Exception as e:
         # legacy checkpoints predate time embeddings: retry with
         # time_embedding_dim=None (reference evaluate.py:135-151)
@@ -68,7 +71,7 @@ def main(argv=None):
               "Identifying as legacy model.")
         print("Retrying with time_embedding_dim=None...")
         predictor, _ = predictor_from_directory(
-            model_dir, image_hw=image_hw,
+            model_dir, image_hw=image_hw, use_ema=args.use_ema,
             model_kwargs_overrides={"time_embedding_dim": None})
 
     eval_step = jax.jit(make_diffusion_eval_step(cost_name=cost_name))

@@ -38,6 +38,8 @@ def parse_args(argv=None):
     parser.add_argument("--slice", dest="slice_idx", type=int, default=None,
                         help="z-slice to plot (default: middle)")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Prefer ema_model.msgpack (train.py --ema-decay)")
     return parser.parse_args(argv)
 
 
@@ -129,7 +131,8 @@ def main(argv=None):
     img, v2d, target = load_sample(args, params)
     image_hw = tuple(img.shape[-2:])
     predictor, _ = predictor_from_directory(
-        args.model_dir, image_hw=image_hw, vae_path_overrides=overrides)
+        args.model_dir, image_hw=image_hw, vae_path_overrides=overrides,
+        use_ema=args.use_ema)
 
     img_j, v2d_j = jnp.asarray(img), jnp.asarray(v2d)
     rng = jax.random.key(args.seed + args.index)

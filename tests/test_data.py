@@ -113,7 +113,9 @@ def test_statistics_writer_matches_reference_contract(synthetic_root, tmp_path):
     stub = type("Stub", (), {})()
     stub.root_dir = str(ref_root)
     stub.use_3d = True
-    stub.data = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # np.array copies: our arrays may be read-only .npy_cache memmaps, which
+    # torch.from_numpy can't wrap without warnings
+    stub.data = {k: torch.from_numpy(np.array(v))
                  for k, v in ours_ds.data.items()}
     ref_ds_mod.MicroFlowDataset._save_statistics(stub)
     theirs = json.loads((ref_root / "statistics.json").read_text())
@@ -309,3 +311,52 @@ def test_numpy_loader_batching():
     assert [b["x"].shape[0] for b in batches] == [2, 2, 1]
     loader2 = NumpyLoader(Tiny(), batch_size=2, drop_last=True)
     assert [b["x"].shape[0] for b in loader2] == [2, 2]
+
+
+def test_npy_cache_round_trip_and_invalidation(synthetic_root):
+    """_load_pt writes a .npy_cache sibling once, memory-maps it on later
+    loads (identical values), and invalidates when the .pt changes."""
+    import os
+    import os.path as osp
+    import time
+    from diffusion_model_project_tpu.data.dataset import _load_pt
+
+    path = str(synthetic_root / "x" / "U.pt")
+    first = np.asarray(_load_pt(path))          # writes the cache
+    cache_dir = osp.join(osp.dirname(path), ".npy_cache")
+    entries = [f for f in os.listdir(cache_dir) if f.startswith("U.pt.")]
+    assert len(entries) == 1
+
+    second = _load_pt(path)                      # served from the cache
+    assert isinstance(second, np.memmap)
+    np.testing.assert_array_equal(np.asarray(second), first)
+
+    # rewriting the source invalidates (size+mtime keyed name)
+    new = np.zeros_like(first)
+    time.sleep(0.01)
+    torch.save(torch.from_numpy(new), path)
+    third = _load_pt(path)
+    np.testing.assert_array_equal(np.asarray(third), new)
+    entries = [f for f in os.listdir(cache_dir) if f.startswith("U.pt.")]
+    assert len(entries) == 1  # stale entry replaced
+
+
+def test_npy_cache_opt_out(synthetic_root, monkeypatch):
+    from diffusion_model_project_tpu.data.dataset import _load_pt
+
+    monkeypatch.setenv("DIFFUSION_TPU_NPY_CACHE", "0")
+    path = str(synthetic_root / "x" / "p.pt")
+    arr = _load_pt(path)
+    assert not isinstance(arr, np.memmap)
+    import os.path as osp
+    assert not osp.exists(osp.join(osp.dirname(path), ".npy_cache"))
+
+
+def test_dataset_with_cache_matches_uncached(synthetic_root, monkeypatch):
+    ds_cached = MicroFlowDataset(str(synthetic_root), use_3d=True)  # warm+use
+    monkeypatch.setenv("DIFFUSION_TPU_NPY_CACHE", "0")
+    ds_plain = MicroFlowDataset(str(synthetic_root), use_3d=True)
+    for idx in (0, 5):
+        a, b = ds_cached[idx], ds_plain[idx]
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -57,8 +57,21 @@ gbatch = dict(
     U_2d=r.standard_normal((B, S, 3, H, W)).astype(np.float32),
     U=r.standard_normal((B, S, 3, H, W)).astype(np.float32))
 
+def barrier(name, timeout_ms=840_000):
+    # Gloo's cross-process context init has a hard 30 s key-exchange
+    # deadline at the FIRST collective; on a loaded (or 1-core) host the
+    # peers' setup/compile skew exceeds it easily. Rendezvous with generous
+    # deadlines around the slow host-side phases so both processes reach
+    # every collective within milliseconds of each other.
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier(name, timeout_ms)
+
 mesh = make_mesh(("data",))
 sl = process_local_slice(B)
+# first rendezvous BEFORE any collective: global_batch_from_local does a
+# process_allgather, and the peers' predictor-creation skew (30s+ on a
+# 1-core host) otherwise blows Gloo's TCP connect deadline
+barrier("setup_done")
 with mesh:
     batch = global_batch_from_local(
         {{k: v[sl] for k, v in gbatch.items()}}, mesh, B)
@@ -66,15 +79,28 @@ with mesh:
     opt = optax.adam(1e-3)
     opt_r = replicate(opt.init(pred.unet_params), mesh)
     step = jax.jit(make_diffusion_train_step(opt))
+    # compile ahead-of-time (host-local, no collectives), THEN rendezvous,
+    # THEN execute — the gradient-psum Gloo context initializes with both
+    # processes present
+    compiled = step.lower(pred_r, opt_r, batch, jax.random.key(5)).compile()
+    barrier("compiled")
     losses = []
     for i in range(2):
-        pred_r, opt_r, aux = step(pred_r, opt_r, batch, jax.random.key(5))
+        pred_r, opt_r, aux = compiled(pred_r, opt_r, batch, jax.random.key(5))
         losses.append(float(aux["loss"]))
 leaves = jax.tree_util.tree_leaves(pred_r.unet_params)
 checksum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves))
 json.dump({{"losses": losses, "checksum": checksum}}, open(out_path, "w"))
-# results are on disk; shutdown-barrier coordination can time out under host
-# load (the peer may still be computing) — never let that fail the worker
+# results are on disk. Rendezvous with a GENEROUS deadline before shutdown:
+# jax.distributed.shutdown()'s internal barrier has a short fixed timeout,
+# and on a loaded (or 1-core) host the peer may still be compiling minutes
+# behind — if the fast worker enters the shutdown barrier early, the
+# coordination service declares it failed and FATALLY kills the slow worker
+# before it can write results.
+try:
+    barrier("results_done")
+except Exception:
+    pass
 try:
     jax.distributed.shutdown()
 except Exception:

@@ -92,3 +92,9 @@ def test_ema_cli_training_writes_loadable_ema_model(
     for a, b in zip(jax.tree_util.tree_leaves(raw.vae_params),
                     jax.tree_util.tree_leaves(ema.vae_params)):
         np.testing.assert_array_equal(a, b)
+
+    # the loss-space eval CLI runs on the EMA weights via --use-ema
+    import evaluate as evaluate_cli
+    evaluate_cli.main(["--model-dir", run, "--root-dir", shared_data_dir,
+                       "--use-ema"])
+    assert osp.exists(osp.join(run, "test_result.txt"))
