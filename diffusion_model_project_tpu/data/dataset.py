@@ -60,8 +60,17 @@ def _load_pt(path: str) -> np.ndarray:
         try:
             os.makedirs(cache_dir, exist_ok=True)
             for stale in os.listdir(cache_dir):
-                if stale.startswith(name + ".") and stale.endswith(".npy"):
-                    os.remove(osp.join(cache_dir, stale))
+                # only entries for THIS source with a DIFFERENT size/mtime
+                # key; never touch in-flight .tmp files or the current key —
+                # concurrent processes (multi-host training) may be loading
+                # or promoting them right now
+                if (stale.startswith(name + ".") and stale.endswith(".npy")
+                        and ".tmp" not in stale
+                        and stale != osp.basename(cache)):
+                    try:
+                        os.remove(osp.join(cache_dir, stale))
+                    except OSError:
+                        pass
             tmp = cache + f".tmp{os.getpid()}.npy"  # np.save keeps .npy names
             np.save(tmp, arr)
             os.replace(tmp, cache)

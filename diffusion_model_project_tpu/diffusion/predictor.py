@@ -39,8 +39,7 @@ from ..ops.distance import distance_transform_edt
 from ..ops.normalizer import MaxNormalizer
 from ..ops.resize import interpolate_bilinear, interpolate_trilinear
 from .scheduler import (
-    DiffusionScheduler, ddim_timesteps, dpm_solver_coefficients,
-    linear_alphas_cumprod_f64)
+    DiffusionScheduler, ddim_timesteps, dpm_solver_coefficients)
 
 
 def _cf_to_cl(x: jnp.ndarray) -> jnp.ndarray:
@@ -480,9 +479,12 @@ class LatentDiffusionPredictor:
         x = self._init_latent_noise(shape, noise, rng)
         x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
 
-        ts = ddim_timesteps(self.num_timesteps, num_steps)
+        # dedupe truncation-repeated nodes (num_steps > T): DDIM treats a
+        # repeated node as an identity step, but a zero-width DPM step would
+        # divide by h=0; unique+descending preserves the trajectory exactly
+        ts = np.unique(ddim_timesteps(self.num_timesteps, num_steps))[::-1]
         coefs = dpm_solver_coefficients(
-            linear_alphas_cumprod_f64(self.num_timesteps), ts, order=order)
+            self.scheduler.alphas_cumprod, ts, order=order)
 
         def step(carry, c):
             x, prev_x0 = carry

@@ -181,10 +181,8 @@ def linear_alphas_cumprod_f64(
     return np.cumprod(1.0 - betas)
 
 
-def dpm_solver_coefficients(
-    alphas_cumprod: np.ndarray, ts: np.ndarray, order: int = 2
-) -> dict:
-    """Static per-step coefficients for DPM-Solver++ multistep sampling
+def dpm_solver_coefficients(alphas_cumprod, ts: np.ndarray, order: int = 2) -> dict:
+    """Per-step coefficients for DPM-Solver++ multistep sampling
     (Lu et al. 2022, arXiv:2211.01095; data-prediction / "++" formulation).
 
     This sampler goes beyond the reference (which only has DDPM/DDIM,
@@ -193,15 +191,20 @@ def dpm_solver_coefficients(
     is mathematically identical to DDIM(eta=0) whenever the x0 clip is
     inactive — the parity anchor tests/test_dpm_sampler.py exploits.
 
-    The solver moves along nodes ``ts`` (descending timesteps) plus a final
+    The solver moves along nodes ``ts`` (descending, strictly decreasing —
+    callers must deduplicate truncation-repeated timesteps) plus a final
     boundary node at alpha_bar=1 (fully denoised). In log-SNR coordinates
     lambda = log(alpha/sigma), one step from node i to i+1 is::
 
         x_{i+1} = (sigma_{i+1}/sigma_i) * x_i - alpha_{i+1}*expm1(-h_i) * D_i
 
     where h_i = lambda_{i+1}-lambda_i and D_i is the (possibly second-order
-    extrapolated) x0 prediction. All math in float64 on host, stored float32
-    (the project's scheduler-table convention).
+    extrapolated) x0 prediction.
+
+    ``alphas_cumprod`` may be a traced jnp array (the predictor's actual —
+    possibly checkpoint-restored — scheduler table; coefficients derive from
+    it in-graph so DPM stays consistent with DDIM/DDPM for non-default
+    schedules) or a concrete numpy array. ``ts`` must be static.
 
     Returns arrays of length len(ts): t (int32 UNet timestep), alpha_cur,
     sigma_cur (eps -> x0 conversion at the current node), sigma_ratio,
@@ -210,24 +213,28 @@ def dpm_solver_coefficients(
     — the standard multistep warm-up and "lower-order-final" rule that also
     keeps the h=inf boundary step finite).
     """
-    abar = np.asarray(alphas_cumprod, np.float64)[np.asarray(ts, np.int64)]
-    alpha = np.concatenate([np.sqrt(abar), [1.0]])
-    sigma = np.concatenate([np.sqrt(1.0 - abar), [0.0]])
-    with np.errstate(divide="ignore"):
-        lam = np.log(alpha) - np.log(sigma)          # +inf at the boundary
-    h = np.diff(lam)                                  # per-step, len(ts)
-    with np.errstate(over="ignore"):
-        x0_coef = -alpha[1:] * np.expm1(-h)           # boundary: -1*(-1) = 1
-    sigma_ratio = np.divide(
-        sigma[1:], sigma[:-1], out=np.zeros_like(h), where=sigma[:-1] > 0)
-    c2 = np.zeros_like(h)
-    if order >= 2 and len(h) > 2:
-        c2[1:-1] = h[1:-1] / (2.0 * h[:-2])
-    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ts = np.asarray(ts, np.int64)
+    assert len(ts) == 1 or np.all(np.diff(ts) < 0), \
+        f"DPM timesteps must be strictly decreasing, got {ts}"
+    abar = jnp.asarray(alphas_cumprod, jnp.float32)[jnp.asarray(ts)]
+    alpha = jnp.concatenate([jnp.sqrt(abar), jnp.ones((1,), jnp.float32)])
+    sigma = jnp.concatenate([jnp.sqrt(1.0 - abar), jnp.zeros((1,), jnp.float32)])
+    lam = jnp.log(alpha) - jnp.log(sigma)            # +inf at the boundary
+    h = jnp.diff(lam)                                 # per-step, len(ts)
+    x0_coef = -alpha[1:] * jnp.expm1(-h)              # boundary: -1*(-1) = 1
+    sigma_ratio = sigma[1:] / jnp.maximum(sigma[:-1], 1e-20)  # 0 at boundary
+    # first and final steps are first-order: static masks keep the h=inf
+    # boundary out of the c2 ratio (no data-dependent control flow)
+    n = len(ts)
+    second = np.zeros((n,), np.float32)
+    if order >= 2 and n > 2:
+        second[1:-1] = 1.0
+    c2 = jnp.asarray(second) * jnp.where(
+        jnp.isfinite(h) & (jnp.roll(h, 1) > 0), h / (2.0 * jnp.roll(h, 1)), 0.0)
     return dict(
-        t=jnp.asarray(np.asarray(ts, np.int64), jnp.int32),
-        alpha_cur=f32(alpha[:-1]), sigma_cur=f32(sigma[:-1]),
-        sigma_ratio=f32(sigma_ratio), x0_coef=f32(x0_coef), c2=f32(c2),
+        t=jnp.asarray(ts, jnp.int32),
+        alpha_cur=alpha[:-1], sigma_cur=sigma[:-1],
+        sigma_ratio=sigma_ratio, x0_coef=x0_coef, c2=c2,
     )
 
 

@@ -278,6 +278,24 @@ def build_predictor(
     return pred, norm_factors
 
 
+def diffusion_weight_chain(use_ema: bool = False, best: bool = True,
+                           folder: str = None) -> list:
+    """Filename fallback chain for diffusion run-dir weights (reference
+    inference.py:48-55 order, native msgpack first). use_ema prepends the
+    ema_model.msgpack written by train.py --ema-decay — with a LOUD warning
+    when it was requested but the run dir has none, so raw-weight numbers
+    are never silently reported as EMA numbers."""
+    names = (["best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"]
+             if best else ["model.msgpack", "model.pt"])
+    if use_ema:
+        if folder is not None and not osp.exists(osp.join(folder, "ema_model.msgpack")):
+            print(f"WARNING: --use-ema requested but {folder} has no "
+                  f"ema_model.msgpack (run trained without --ema-decay?); "
+                  f"falling back to {names[0]}-chain RAW weights.")
+        names = ["ema_model.msgpack"] + names
+    return names
+
+
 def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = True,
                              vae_path_overrides: Optional[dict] = None,
                              model_kwargs_overrides: Optional[dict] = None,
@@ -302,12 +320,7 @@ def predictor_from_directory(folder: str, *, image_hw=(256, 256), best: bool = T
             **predictor_kwargs.get("model_kwargs", {}), **model_kwargs_overrides}
     pred, _ = build_predictor(predictor_kwargs, image_hw=image_hw)
 
-    names = (["best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt"]
-             if best else ["model.msgpack", "model.pt"])
-    if use_ema:
-        # EMA weights written by train.py --ema-decay (extension; falls back
-        # down the normal chain if the run tracked no EMA)
-        names = ["ema_model.msgpack"] + names
+    names = diffusion_weight_chain(use_ema=use_ema, best=best, folder=folder)
     for name in names:
         path = osp.join(folder, name)
         if osp.exists(path):

@@ -161,7 +161,7 @@ def process_args(args: argparse.Namespace) -> dict:
     if args.device is None:
         args.device = _default_device()
 
-    return {
+    out = {
         "name": args.name,
         "mode": args.mode,
         "save_dir": args.save_dir,
@@ -223,6 +223,12 @@ def process_args(args: argparse.Namespace) -> dict:
             "bottom_feature_channels": args.bottom_feature_channels,
         },
     }
+    # extension flags recorded only when active: log.json stays dict-equal
+    # with the reference for reference-flag runs, but ema_model.msgpack's
+    # provenance is never lost
+    if getattr(args, "ema_decay", 0.0):
+        out["training"]["ema_decay"] = args.ema_decay
+    return out
 
 
 def make_log_folder(param_dict: dict) -> str:

@@ -99,9 +99,9 @@ def load_model_and_config(args, image_hw):
 
     # diffusion weights: best_model first (reference inference.py:48-55);
     # --use-ema prefers the EMA weights written by train.py --ema-decay
-    chain = ("best_model.msgpack", "model.msgpack", "best_model.pt", "model.pt")
-    if getattr(args, "use_ema", False):
-        chain = ("ema_model.msgpack",) + chain
+    from diffusion_model_project_tpu.utils.checkpoint import diffusion_weight_chain
+    chain = diffusion_weight_chain(use_ema=getattr(args, "use_ema", False),
+                                   folder=args.diffusion_model_path)
     for name in chain:
         path = osp.join(args.diffusion_model_path, name)
         if osp.exists(path):
@@ -128,6 +128,12 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
                    num_steps=50, seed=42, sanity_mode=False, num_samples=None,
                    single_index=None, noise_dir=None, torch_noise=False,
                    save_npz_dir=None, batch_size=1):
+    if sampler == "ddpm" and batch_size > 1:
+        raise ValueError(
+            "--sampler ddpm requires --batch-size 1: the ancestral noise "
+            "stream is seeded per sample, which a shared batched scan cannot "
+            "preserve (per-sample results would depend on batch position). "
+            "Use ddim/dpm for batched evaluation.")
     per_sample_results = []
     sanity_stats = {k: [] for k in (
         "pred_min", "pred_max", "pred_mean", "pred_std",

@@ -102,6 +102,38 @@ def test_dpm_second_order_beats_ddim_at_equal_steps(pred, sample):
         assert err_dpm < err_ddim, (steps, err_dpm, err_ddim)
 
 
+def test_dpm_more_steps_than_timesteps(pred, sample):
+    """num_steps > T repeats truncated timestep nodes; DDIM treats repeats as
+    identity steps while a zero-width DPM step would divide by h=0 — the
+    sampler must deduplicate and stay finite AND equal to DDIM at order 1."""
+    img, v2d, lat = sample
+    ddim = pred.predict_ddim(img, v2d, num_steps=2 * T, noise=lat)
+    dpm1 = pred.predict_dpm(img, v2d, num_steps=2 * T, order=1, noise=lat)
+    dpm2 = pred.predict_dpm(img, v2d, num_steps=2 * T, order=2, noise=lat)
+    assert bool(jnp.isfinite(dpm2).all())
+    np.testing.assert_allclose(np.asarray(dpm1), np.asarray(ddim),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dpm_uses_the_predictors_actual_scheduler(pred, sample):
+    """Coefficients must derive from the (possibly checkpoint-restored)
+    scheduler tables, not a recomputed default schedule — order-1 DPM must
+    track DDIM under a NON-default beta range."""
+    from diffusion_model_project_tpu.diffusion.scheduler import DiffusionScheduler
+
+    img, v2d, lat = sample
+    custom = dataclasses.replace(
+        pred, scheduler=DiffusionScheduler.create(T, beta_start=5e-4,
+                                                  beta_end=0.01))
+    ddim = custom.predict_ddim(img, v2d, num_steps=6, noise=lat)
+    dpm1 = custom.predict_dpm(img, v2d, num_steps=6, order=1, noise=lat)
+    np.testing.assert_allclose(np.asarray(dpm1), np.asarray(ddim),
+                               rtol=1e-4, atol=1e-5)
+    # and it must NOT agree with the default-schedule trajectory
+    default_ddim = pred.predict_ddim(img, v2d, num_steps=6, noise=lat)
+    assert float(jnp.max(jnp.abs(ddim - default_ddim))) > 1e-3
+
+
 def test_dpm_single_step_is_x0_projection(pred, sample):
     """num_steps=1 must collapse to the direct x0 projection, matching the
     reference's one-step DDIM semantics (alpha_bar_prev = 1)."""
