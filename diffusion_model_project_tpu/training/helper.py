@@ -141,6 +141,7 @@ def run_epoch(
     _step_cache: Optional[dict] = None,
     verbose: bool = False,
     mesh=None,
+    should_stop: Optional[Callable[[], bool]] = None,
 ):
     """One training epoch + one validation pass.
 
@@ -148,7 +149,10 @@ def run_epoch(
     ``_step_cache`` (a dict owned by the caller) holds the jitted step
     functions across epochs to avoid re-jitting. With ``mesh`` set, batches
     whose size divides the 'data' axis are sharded over it (XLA inserts the
-    gradient psum); remainder batches run replicated.
+    gradient psum); remainder batches run replicated. ``should_stop`` (e.g. a
+    utils.preempt.GracefulShutdown) is polled before every batch; when it
+    turns true the partial epoch unwinds via PreemptStop so the caller can
+    checkpoint and exit inside a preemption grace window.
     """
     train_loader, val_loader = loaders
     physics = PhysicsLoss(
@@ -184,6 +188,9 @@ def run_epoch(
     train_auxes, heavy_flags = [], []
     i = -1
     for i, data in enumerate(train_loader):
+        if should_stop is not None and should_stop():
+            from ..utils.preempt import PreemptStop
+            raise PreemptStop(f"stop requested at train batch {i}")
         if verbose:
             print(f"Training set: batch [{i + 1}/{len(train_loader)}]")
         batch = _batch_dict(data, mesh)
@@ -223,6 +230,9 @@ def run_epoch(
     val_metricses = []
     j = -1
     for j, data in enumerate(val_loader):
+        if should_stop is not None and should_stop():
+            from ..utils.preempt import PreemptStop
+            raise PreemptStop(f"stop requested at val batch {j}")
         if verbose:
             print(f"Validation set: batch [{j + 1}/{len(val_loader)}]")
         batch = _batch_dict(data, mesh)

@@ -103,9 +103,16 @@ def train(
     image_hw=(256, 256),
     seed: int = 0,
     data_parallel: bool = True,
+    should_stop=None,
 ):
     """Returns (avg_train_loss, avg_val_loss). ``report_fn(epoch, val_loss)``
     may raise to prune a hyperparameter-search trial.
+
+    ``should_stop`` (e.g. a utils.preempt.GracefulShutdown installed by the
+    CLI) is polled before every batch and after every epoch: when it turns
+    true the loop stops within one step, the partial epoch is discarded,
+    every completed epoch's checkpoints drain to disk, and the `--resume`
+    hint is printed — the preemptible-TPU-VM story the reference lacks.
 
     With data_parallel (default) and more than one visible device, a 1-D
     ``data`` mesh is entered for the whole run: batches are sharded over ICI,
@@ -207,7 +214,9 @@ def train(
     # checkpoints stream out on a background thread (atomic tmp+rename);
     # epoch N+1 dispatches while epoch N's weights fetch/serialize/write
     from ..utils.async_ckpt import AsyncCheckpointWriter
+    from ..utils.preempt import PreemptStop
     ckpt_writer = AsyncCheckpointWriter()
+    preempted = False
 
     for epoch in range(start_epoch, td["num_epochs"]):
         current_lr = learning_rate * (
@@ -235,7 +244,13 @@ def train(
                 velocity_loss_primary=td["velocity_loss_primary"],
                 _step_cache=step_cache,
                 mesh=mesh,
+                should_stop=should_stop,
             )
+        except PreemptStop as e:
+            print(f"Epoch {epoch} abandoned ({e}); state is at epoch "
+                  f"{epoch - 1 if epoch else 'none (no epoch completed)'}")
+            preempted = True
+            break
         finally:
             if profile_ctx is not None:
                 profile_ctx.__exit__(None, None, None)
@@ -290,7 +305,22 @@ def train(
                     pass
                 raise
 
+        if should_stop is not None and should_stop():
+            # signal arrived during checkpointing: this epoch IS saved
+            preempted = True
+            break
+
     ckpt_writer.close()  # every queued write landed (or raises its failure)
+
+    if preempted:
+        state_path = osp.join(log_folder, "train_state.msgpack")
+        if osp.exists(state_path):
+            print(f"Preempted; all completed epochs are on disk. Resume with:"
+                  f"\n  --resume {log_folder}", flush=True)
+        else:
+            print("Preempted before the first epoch completed; nothing saved.",
+                  flush=True)
+        return avg_train_loss, avg_val_loss
 
     # test evaluation with the best checkpoint
     if test_loader is not None and not math.isinf(best_loss):
@@ -361,10 +391,13 @@ class MedianPruner:
 
 
 def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
-             n_startup_trials: int = 5):
+             n_startup_trials: int = 5, should_stop=None):
     """Random-search replacement for the reference Optuna mode; same search
     space (batch, odd kernel, levels -> feature stack, log-uniform lr) and the
-    same median-rule pruning contract as the reference study's default pruner."""
+    same median-rule pruning contract as the reference study's default pruner.
+    ``should_stop`` stops the study at the next trial boundary (the running
+    trial stops within one step via train()'s own handling and is NOT
+    recorded — only fully trained trials enter study.json)."""
     rng = pyrandom.Random(2024)
     n_trials = n_trials or args.n_trials
     results = []
@@ -372,6 +405,10 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
     pruner = MedianPruner(n_startup_trials=n_startup_trials)
 
     for trial_idx in range(n_trials):
+        if should_stop is not None and should_stop():
+            print(f"Study preempted after {trial_idx} recorded trials; "
+                  f"{study_path} is current.", flush=True)
+            break
         args.batch_size = rng.randint(*args.range_batch_size)
         args.kernel_size = rng.randrange(
             args.range_kernel_size[0], args.range_kernel_size[1] + 1, 2)
@@ -388,7 +425,10 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
         report_fn = pruner.make_report_fn()
         try:
             _, val_loss = train(args, train_loader, val_loader, test_loader,
-                                report_fn=report_fn)
+                                report_fn=report_fn, should_stop=should_stop)
+            if should_stop is not None and should_stop():
+                print(f"Trial {trial_idx} interrupted mid-run; not recorded.")
+                break
             state = "COMPLETE"
             pruner.complete_trial(report_fn)
         except TrialPruned as e:

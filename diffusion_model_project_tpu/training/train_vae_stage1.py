@@ -71,6 +71,12 @@ def parse_args(argv=None):
                         help="stage widths (default: the reference's hardwired "
                              "128 256 512; each must divide by the GroupNorm's "
                              "32 groups)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from save-dir/train_state.msgpack "
+                             "(full state: params, optimizer moments, the "
+                             "cross-epoch accumulated-grad buffer, epoch and "
+                             "best-loss counters — the reference can only "
+                             "restart stage 1 from scratch)")
     return parser.parse_args(argv)
 
 
@@ -281,73 +287,128 @@ def main(argv=None):
     # epoch is skipped exactly on an accumulation boundary, the window's
     # gradients carry into the next epoch's first step instead of vanishing
     g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-    for epoch in range(args.num_epochs):
-        t0 = time.time()
-        if epoch < args.kl_warmup_epochs:
-            kl_coeff = min_kl + (args.max_kl_coeff - min_kl) * (epoch / args.kl_warmup_epochs)
-        else:
-            kl_coeff = args.max_kl_coeff
-        print(f"\nEpoch {epoch + 1}/{args.num_epochs} - KL coefficient: {kl_coeff:.6f}")
 
-        running_recons = running_kl = 0.0
-        i = -1
-        for i, batch in enumerate(train_loader):
-            batch = {"velocity": batch["velocity"] / np.asarray(nf),
-                     "microstructure": batch["microstructure"]}
-            rng, r = jax.random.split(rng)
-            g_acc, metrics = grad_step(g_acc, params, batch, r, kl_coeff)
-            kl_val = float(metrics["kl"])
-            skipped = bool(metrics["bad"])
-            if skipped:
-                print(f"  Skipping batch {i} due to bad mu/logvar values")
-            elif kl_val > 1000:
-                print(f"  ERROR: KL loss exploded to {kl_val:.2f}! Training unstable.")
-                sys.exit(1)
+    # full-state resume (params + optimizer moments + the cross-epoch grad
+    # buffer + counters) — the reference can only restart stage 1 from scratch
+    from flax import serialization
+    start_epoch = 0
+    state_path = osp.join(args.save_dir, "train_state.msgpack")
+    if args.resume:
+        with open(state_path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        params = serialization.from_state_dict(params, state["params"])
+        opt_state = serialization.from_state_dict(opt_state, state["opt_state"])
+        g_acc = serialization.from_state_dict(g_acc, state["g_acc"])
+        start_epoch = int(state["epoch"]) + 1
+        best_val_loss = float(state["best_val_loss"])
+        with open(osp.join(args.save_dir, "vae_log.json")) as f:
+            prev = json.load(f)
+        for key in log_dict["loss"]:
+            log_dict["loss"][key] = prev["loss"].get(key, [])[:start_epoch]
+        print(f"Resumed from {state_path} at epoch {start_epoch} "
+              f"(best val loss {best_val_loss:.6f})")
+
+    # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
+    # discards the partial epoch, drains the writer, exits cleanly
+    from ..utils.preempt import GracefulShutdown
+    preempted = False
+    with GracefulShutdown() as shutdown:
+        for epoch in range(start_epoch, args.num_epochs):
+            t0 = time.time()
+            if epoch < args.kl_warmup_epochs:
+                kl_coeff = min_kl + (args.max_kl_coeff - min_kl) * (epoch / args.kl_warmup_epochs)
             else:
-                running_recons += float(metrics["recons"])
-                running_kl += kl_val
-            # reference steps on batch index, not accumulated count, and the
-            # skip-batch `continue` bypasses the step check too
-            if not skipped and (i + 1) % args.grad_accum == 0:
+                kl_coeff = args.max_kl_coeff
+            print(f"\nEpoch {epoch + 1}/{args.num_epochs} - KL coefficient: {kl_coeff:.6f}")
+
+            running_recons = running_kl = 0.0
+            i = -1
+            for i, batch in enumerate(train_loader):
+                if shutdown.requested:
+                    preempted = True
+                    break
+                batch = {"velocity": batch["velocity"] / np.asarray(nf),
+                         "microstructure": batch["microstructure"]}
+                rng, r = jax.random.split(rng)
+                g_acc, metrics = grad_step(g_acc, params, batch, r, kl_coeff)
+                kl_val = float(metrics["kl"])
+                skipped = bool(metrics["bad"])
+                if skipped:
+                    print(f"  Skipping batch {i} due to bad mu/logvar values")
+                elif kl_val > 1000:
+                    print(f"  ERROR: KL loss exploded to {kl_val:.2f}! Training unstable.")
+                    sys.exit(1)
+                else:
+                    running_recons += float(metrics["recons"])
+                    running_kl += kl_val
+                # reference steps on batch index, not accumulated count, and the
+                # skip-batch `continue` bypasses the step check too
+                if not skipped and (i + 1) % args.grad_accum == 0:
+                    params, opt_state = apply_step(params, opt_state, g_acc)
+                    g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+            if preempted:
+                break  # partial epoch discarded; state is at the last boundary
+            if i >= 0 and (i + 1) % args.grad_accum != 0:
                 params, opt_state = apply_step(params, opt_state, g_acc)
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-        if i >= 0 and (i + 1) % args.grad_accum != 0:
-            params, opt_state = apply_step(params, opt_state, g_acc)
-            g_acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-        if i == -1:
-            print("ERROR: No training batches found!")
-            continue
-        avg_recons_train = running_recons / (i + 1)
-        avg_kl_train = running_kl / (i + 1)
+            if i == -1:
+                print("ERROR: No training batches found!")
+                continue
+            avg_recons_train = running_recons / (i + 1)
+            avg_kl_train = running_kl / (i + 1)
 
-        val_recons = val_kl = 0.0
-        j = -1
-        for j, batch in enumerate(val_loader):
-            batch = {"velocity": batch["velocity"] / np.asarray(nf),
-                     "microstructure": batch["microstructure"]}
-            rng, r = jax.random.split(rng)
-            metrics = eval_step(params, batch, r, kl_coeff)
-            val_recons += float(metrics["recons"])
-            val_kl += float(metrics["kl"])
-        avg_recons_val = val_recons / max(j + 1, 1)
-        avg_kl_val = val_kl / max(j + 1, 1)
+            val_recons = val_kl = 0.0
+            j = -1
+            for j, batch in enumerate(val_loader):
+                if shutdown.requested:
+                    preempted = True
+                    break
+                batch = {"velocity": batch["velocity"] / np.asarray(nf),
+                         "microstructure": batch["microstructure"]}
+                rng, r = jax.random.split(rng)
+                metrics = eval_step(params, batch, r, kl_coeff)
+                val_recons += float(metrics["recons"])
+                val_kl += float(metrics["kl"])
+            if preempted:
+                break
+            avg_recons_val = val_recons / max(j + 1, 1)
+            avg_kl_val = val_kl / max(j + 1, 1)
 
-        log_dict["loss"]["recons_train"].append(avg_recons_train)
-        log_dict["loss"]["kl_train"].append(avg_kl_train)
-        log_dict["loss"]["recons_val"].append(avg_recons_val)
-        log_dict["loss"]["kl_val"].append(avg_kl_val)
-        log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            log_dict["loss"]["recons_train"].append(avg_recons_train)
+            log_dict["loss"]["kl_train"].append(avg_kl_train)
+            log_dict["loss"]["recons_val"].append(avg_recons_val)
+            log_dict["loss"]["kl_val"].append(avg_kl_val)
+            log_dict["loss"]["kl_coeff"].append(kl_coeff)
 
-        save(args.save_dir, params, log_dict)
-        val_loss = avg_recons_val + kl_coeff * avg_kl_val
-        if val_loss < best_val_loss:
-            best_val_loss = val_loss
-            ckpt_writer.submit(
-                osp.join(args.save_dir, "best_model.msgpack"), params)
-        print(f"Epoch {epoch + 1}: recons {avg_recons_train:.6f}/{avg_recons_val:.6f} "
-              f"kl {avg_kl_train:.2f}/{avg_kl_val:.2f} time {time.time() - t0:.1f}s")
+            save(args.save_dir, params, log_dict)
+            val_loss = avg_recons_val + kl_coeff * avg_kl_val
+            if val_loss < best_val_loss:
+                best_val_loss = val_loss
+                ckpt_writer.submit(
+                    osp.join(args.save_dir, "best_model.msgpack"), params)
+            ckpt_writer.submit(state_path, {
+                "params": params,
+                "opt_state": serialization.to_state_dict(opt_state),
+                "g_acc": g_acc,
+                "epoch": np.int64(epoch),
+                "best_val_loss": np.float64(best_val_loss),
+            })
+            print(f"Epoch {epoch + 1}: recons {avg_recons_train:.6f}/{avg_recons_val:.6f} "
+                  f"kl {avg_kl_train:.2f}/{avg_kl_val:.2f} time {time.time() - t0:.1f}s")
+            if shutdown.requested:
+                preempted = True  # arrived during checkpointing: epoch IS saved
+                break
 
     ckpt_writer.close()  # every queued write landed (or raises its failure)
+
+    if preempted:
+        if os.path.exists(state_path):
+            print(f"Preempted; completed epochs are on disk. Resume with:\n"
+                  f"  --save-dir {args.save_dir} --resume", flush=True)
+        else:
+            print("Preempted before the first epoch completed; nothing saved.",
+                  flush=True)
+        return params, log_dict
 
     # final test evaluation
     test_recons = 0.0

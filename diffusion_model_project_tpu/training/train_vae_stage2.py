@@ -70,6 +70,11 @@ def parse_args(argv=None):
     parser.add_argument("--norm-mode", type=str, default="max", choices=["max", "mean"])
     parser.add_argument("--grad-accum", type=int, default=5)
     parser.add_argument("--seed", type=int, default=2024)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from save-dir/train_state.msgpack "
+                             "(full state: trainable params, optimizer "
+                             "moments, the cross-epoch accumulated-grad "
+                             "buffer, epoch and best-loss counters)")
     return parser.parse_args(argv)
 
 
@@ -287,68 +292,117 @@ def main(argv=None):
     # persists across epochs like the reference's .grad buffers (zeroed only
     # after an optimizer step) — see train_vae_stage1.py for the rationale
     g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-    for epoch in range(args.num_epochs):
-        t0 = time.time()
-        kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
-        running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
-        i = -1
-        for i, batch in enumerate(train_loader):
-            g_acc, metrics = grad_step(g_acc, trainable, frozen, norm_batch(batch))
-            skipped = bool(metrics["bad"])
-            if skipped:
-                print(f"WARNING: NaN/Inf in mean_2d at batch {i}")
-            else:
-                for k in running:
-                    running[k] += float(metrics[k])
-            # reference steps on batch index; skip-batch bypasses the check
-            if not skipped and (i + 1) % args.grad_accum == 0:
+
+    # full-state resume — the reference can only restart stage 2 from scratch
+    from flax import serialization
+    start_epoch = 0
+    state_path = osp.join(args.save_dir, "train_state.msgpack")
+    if args.resume:
+        with open(state_path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        trainable = serialization.from_state_dict(trainable, state["trainable"])
+        opt_state = serialization.from_state_dict(opt_state, state["opt_state"])
+        g_acc = serialization.from_state_dict(g_acc, state["g_acc"])
+        start_epoch = int(state["epoch"]) + 1
+        best_val_loss = float(state["best_val_loss"])
+        with open(osp.join(args.save_dir, "vae_log.json")) as f:
+            prev = json.load(f)
+        for key in log_dict["loss"]:
+            log_dict["loss"][key] = prev["loss"].get(key, [])[:start_epoch]
+        print(f"Resumed from {state_path} at epoch {start_epoch} "
+              f"(best val loss {best_val_loss:.6f})")
+
+    # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
+    # discards the partial epoch, drains the writer, exits cleanly
+    from ..utils.preempt import GracefulShutdown
+    preempted = False
+    with GracefulShutdown() as shutdown:
+        for epoch in range(start_epoch, args.num_epochs):
+            t0 = time.time()
+            kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
+            running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
+            i = -1
+            for i, batch in enumerate(train_loader):
+                if shutdown.requested:
+                    preempted = True
+                    break
+                g_acc, metrics = grad_step(g_acc, trainable, frozen, norm_batch(batch))
+                skipped = bool(metrics["bad"])
+                if skipped:
+                    print(f"WARNING: NaN/Inf in mean_2d at batch {i}")
+                else:
+                    for k in running:
+                        running[k] += float(metrics[k])
+                # reference steps on batch index; skip-batch bypasses the check
+                if not skipped and (i + 1) % args.grad_accum == 0:
+                    trainable, opt_state = apply_step(trainable, opt_state, g_acc)
+                    g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            if preempted:
+                break  # partial epoch discarded; state is at the last boundary
+            if i >= 0 and (i + 1) % args.grad_accum != 0:
                 trainable, opt_state = apply_step(trainable, opt_state, g_acc)
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-        if i >= 0 and (i + 1) % args.grad_accum != 0:
-            trainable, opt_state = apply_step(trainable, opt_state, g_acc)
-            g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-        num_train = max(i + 1, 1)
+            num_train = max(i + 1, 1)
 
-        val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
-        j = -1
-        for j, batch in enumerate(val_loader):
-            metrics = eval_step(trainable, frozen, norm_batch(batch))
-            for k in val:
-                val[k] += float(metrics[k])
-        num_val = max(j + 1, 1)
+            val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
+            j = -1
+            for j, batch in enumerate(val_loader):
+                if shutdown.requested:
+                    preempted = True
+                    break
+                metrics = eval_step(trainable, frozen, norm_batch(batch))
+                for k in val:
+                    val[k] += float(metrics[k])
+            if preempted:
+                break
+            num_val = max(j + 1, 1)
 
-        for k, log_key in (("recons_2d", "recons_2d"), ("kl_2d", "kl_2d"),
-                           ("align", "align"), ("cross", "cross")):
-            log_dict["loss"][f"{log_key}_train"].append(running[k] / num_train)
-            log_dict["loss"][f"{log_key}_val"].append(val[k] / num_val)
-        log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            for k, log_key in (("recons_2d", "recons_2d"), ("kl_2d", "kl_2d"),
+                               ("align", "align"), ("cross", "cross")):
+                log_dict["loss"][f"{log_key}_train"].append(running[k] / num_train)
+                log_dict["loss"][f"{log_key}_val"].append(val[k] / num_val)
+            log_dict["loss"]["kl_coeff"].append(kl_coeff)
 
-        # frozen-weight checksums (reference train_2d_with_cross.py:602-608)
-        if abs(checksum(frozen["encoder_3d"]) - e3d_checksum) > 1e-5:
-            print("  WARNING: E3D weights changed!")
-        if abs(checksum(frozen["decoder_3d"]) - d3d_checksum) > 1e-5:
-            print("  WARNING: D3D weights changed!")
+            # frozen-weight checksums (reference train_2d_with_cross.py:602-608)
+            if abs(checksum(frozen["encoder_3d"]) - e3d_checksum) > 1e-5:
+                print("  WARNING: E3D weights changed!")
+            if abs(checksum(frozen["decoder_3d"]) - d3d_checksum) > 1e-5:
+                print("  WARNING: D3D weights changed!")
 
-        save(osp.join(args.save_dir, "model.msgpack"), trainable)
-        current_val_loss = (val["recons_2d"] / num_val
-                            + kl_coeff * val["kl_2d"] / num_val
-                            + args.lambda_align * val["align"] / num_val
-                            + args.lambda_cross * val["cross"] / num_val)
-        if current_val_loss < best_val_loss:
-            best_val_loss = current_val_loss
-            save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
-        # log queued AFTER the weights on the same FIFO writer (encoded
-        # eagerly — log_dict mutates next epoch): a crash can leave the log
-        # behind the weights but never ahead
-        ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
-                           json.dumps(log_dict, indent=2).encode(),
-                           serialize=bytes)
-        print(f"Epoch {epoch + 1}/{args.num_epochs}: "
-              f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
-              f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
-              f"time {time.time() - t0:.1f}s")
+            save(osp.join(args.save_dir, "model.msgpack"), trainable)
+            current_val_loss = (val["recons_2d"] / num_val
+                                + kl_coeff * val["kl_2d"] / num_val
+                                + args.lambda_align * val["align"] / num_val
+                                + args.lambda_cross * val["cross"] / num_val)
+            if current_val_loss < best_val_loss:
+                best_val_loss = current_val_loss
+                save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
+            ckpt_writer.submit(state_path, {
+                "trainable": trainable,
+                "opt_state": serialization.to_state_dict(opt_state),
+                "g_acc": g_acc,
+                "epoch": np.int64(epoch),
+                "best_val_loss": np.float64(best_val_loss),
+            })
+            # log queued AFTER the weights on the same FIFO writer (encoded
+            # eagerly — log_dict mutates next epoch): a crash can leave the log
+            # behind the weights but never ahead
+            ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
+                               json.dumps(log_dict, indent=2).encode(),
+                               serialize=bytes)
+            print(f"Epoch {epoch + 1}/{args.num_epochs}: "
+                  f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
+                  f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
+                  f"time {time.time() - t0:.1f}s")
+            if shutdown.requested:
+                preempted = True  # arrived during checkpointing: epoch IS saved
+                break
 
     ckpt_writer.close()  # every queued write landed (or raises its failure)
+
+    if preempted and osp.exists(state_path):
+        print(f"Preempted; completed epochs are on disk. Resume with:\n"
+              f"  --save-dir {args.save_dir} --resume", flush=True)
     return trainable, frozen, log_dict
 
 

@@ -42,21 +42,32 @@ def main(argv=None):
             k_folds=None, use_3d=args.use_3d,
         )
 
-    if args.mode == "train":
-        train_loader, val_loader, test_loader = load(args)[0]
-        train(args, train_loader, val_loader, test_loader)
-    elif args.mode == "CV":
-        folds = get_loader(
-            root_dir=args.root_dir, batch_size=args.batch_size,
-            shuffle=args.shuffle, augment=args.augment,
-            k_folds=args.k_folds, use_3d=args.use_3d,
-        )
-        for i, (train_loader, val_loader, test_loader) in enumerate(folds):
-            print(f"Cross-Validation [{i + 1}/{args.k_folds}]")
-            args.name = f"kfold-{i + 1}.{args.k_folds}"
-            train(args, train_loader, val_loader, test_loader)
-    elif args.mode == "optimize":
-        optimize(args, load)
+    # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one training
+    # step, drains checkpoints, prints the --resume hint, and exits 0; a
+    # second signal force-kills (diffusion_model_project_tpu/utils/preempt.py)
+    from diffusion_model_project_tpu.utils.preempt import GracefulShutdown
+
+    with GracefulShutdown() as shutdown:
+        if args.mode == "train":
+            train_loader, val_loader, test_loader = load(args)[0]
+            train(args, train_loader, val_loader, test_loader,
+                  should_stop=shutdown)
+        elif args.mode == "CV":
+            folds = get_loader(
+                root_dir=args.root_dir, batch_size=args.batch_size,
+                shuffle=args.shuffle, augment=args.augment,
+                k_folds=args.k_folds, use_3d=args.use_3d,
+            )
+            for i, (train_loader, val_loader, test_loader) in enumerate(folds):
+                if shutdown.requested:
+                    print(f"CV preempted after fold {i}/{args.k_folds}")
+                    break
+                print(f"Cross-Validation [{i + 1}/{args.k_folds}]")
+                args.name = f"kfold-{i + 1}.{args.k_folds}"
+                train(args, train_loader, val_loader, test_loader,
+                      should_stop=shutdown)
+        elif args.mode == "optimize":
+            optimize(args, load, should_stop=shutdown)
 
 
 if __name__ == "__main__":
