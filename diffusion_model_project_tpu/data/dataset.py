@@ -132,6 +132,8 @@ class MicroFlowDataset:
         self.augment = augment
         self.use_3d = use_3d
         self.save_stats = save_stats
+        self._seed = seed
+        self._epoch: Optional[int] = None
         self._rng = np.random.default_rng(seed)
         self.data: Dict[str, np.ndarray] = {}
 
@@ -236,9 +238,24 @@ class MicroFlowDataset:
     def __len__(self) -> int:
         return self.data["microstructure"].shape[0]
 
-    def _augment_sample(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def set_epoch(self, epoch: int) -> None:
+        """Derive this epoch's augmentation stream from (seed, epoch, idx)
+        instead of the stateful default: a resumed run replays exactly the
+        same flips an uninterrupted run would have drawn (deterministic
+        resume). Without set_epoch the legacy stateful stream is kept."""
+        self._epoch = int(epoch)
+
+    def _aug_rng(self, idx: int):
+        if self._epoch is None:
+            return self._rng
+        return np.random.default_rng((self._seed, self._epoch, int(idx)))
+
+    def _augment_sample(self, sample: Dict[str, np.ndarray],
+                        rng=None) -> Dict[str, np.ndarray]:
         """Flip-H (negate vy) and, in 3D, flip-Z (negate vz), each with p=0.5."""
-        if self._rng.random() < 0.5:
+        if rng is None:
+            rng = self._rng
+        if rng.random() < 0.5:
             for key in sample:
                 if key in ("dxyz", "permeability"):
                     continue
@@ -250,7 +267,7 @@ class MicroFlowDataset:
                         sample[key][:, 1] = -sample[key][:, 1]
                     elif sample[key].ndim == 3 and sample[key].shape[0] >= 2:
                         sample[key][1] = -sample[key][1]
-        if self.use_3d and self._rng.random() < 0.5:
+        if self.use_3d and rng.random() < 0.5:
             for key in sample:
                 if key in ("dxyz", "permeability"):
                     continue
@@ -283,7 +300,8 @@ class MicroFlowDataset:
             if "velocity_input" in self.data:
                 sample["velocity_input"] = self.data["velocity_input"][idx].astype(np.float32)
         if self.augment:
-            sample = self._augment_sample({k: v.copy() for k, v in sample.items()})
+            sample = self._augment_sample({k: v.copy() for k, v in sample.items()},
+                                          rng=self._aug_rng(idx))
         return sample
 
 
@@ -297,7 +315,14 @@ class MicroFlowDatasetVAE:
         self.data = base.data
         self.root_dir = root_dir
         self.augment = augment
+        self._seed = seed
+        self._epoch: Optional[int] = None
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """(seed, epoch, idx)-derived augmentation for deterministic resume;
+        see MicroFlowDataset.set_epoch."""
+        self._epoch = int(epoch)
 
     @property
     def num_microstructures(self) -> int:
@@ -322,15 +347,19 @@ class MicroFlowDatasetVAE:
             "original_idx": np.asarray(base_idx),
         }
         if self.augment:
-            sample = self._augment_sample(sample)
+            rng = (self._rng if self._epoch is None else
+                   np.random.default_rng((self._seed, self._epoch, int(idx))))
+            sample = self._augment_sample(sample, rng=rng)
         return sample
 
-    def _augment_sample(self, sample):
+    def _augment_sample(self, sample, rng=None):
         """Per-axis flips with velocity sign negation incl. depth flip negating
         vz (reference VAE dataset.py:439-459). Layout here is (C, D, H, W)."""
+        if rng is None:
+            rng = self._rng
         flips = [(-1, 0), (-2, 1), (-3, 2)]  # (axis, velocity component to negate)
         for axis, comp in flips:
-            if self._rng.random() < 0.5:
+            if rng.random() < 0.5:
                 sample["velocity"] = np.flip(sample["velocity"], axis=axis).copy()
                 sample["microstructure"] = np.flip(sample["microstructure"], axis=axis).copy()
                 sample["velocity"][comp] = -sample["velocity"][comp]
@@ -500,7 +529,20 @@ class NumpyLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
+        self._epoch: Optional[int] = None
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Make epoch ``epoch``'s shuffle order (and the wrapped dataset's
+        augmentation stream) a pure function of (seed, epoch) instead of the
+        stateful default, so a resumed run replays exactly the batches an
+        uninterrupted run would have seen (deterministic resume — like
+        torch.utils.data.DistributedSampler.set_epoch)."""
+        self._epoch = int(epoch)
+        set_ds_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_ds_epoch is not None:
+            set_ds_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -511,7 +553,9 @@ class NumpyLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            rng = (self._rng if self._epoch is None else
+                   np.random.default_rng((self._seed, self._epoch)))
+            rng.shuffle(order)
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:

@@ -224,7 +224,14 @@ def train(
         opt_state.hyperparams["learning_rate"] = current_lr
 
         start_time = time.time()
-        rng, epoch_rng = jax.random.split(rng)
+        # deterministic resume: every epoch's streams are pure functions of
+        # (seed, epoch) — the jax noise chain via fold_in, the loader's
+        # shuffle order and augmentation draws via set_epoch — so a resumed
+        # run replays exactly what the uninterrupted run would have done
+        epoch_rng = jax.random.fold_in(rng, epoch)
+        for loader in (train_loader, val_loader):
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
 
         profile_ctx = None
         if epoch == 0 and getattr(args, "profile_dir", None):
@@ -328,6 +335,7 @@ def train(
 
         predictor = load_predictor_state(predictor, best_model_path)
         eval_step = jax.jit(make_diffusion_eval_step(cost_name=td["cost_function"]))
+        rng = jax.random.fold_in(rng, td["num_epochs"])  # distinct from epoch streams
         test_loss, k = 0.0, -1
         for k, data in enumerate(test_loader):
             (img, v2d), targets = select_input_output(data)

@@ -229,6 +229,9 @@ def main(argv=None):
         def __getitem__(self, i):
             return full_dataset[self.idx[i]]
 
+        def set_epoch(self, epoch):  # deterministic-resume augmentation
+            full_dataset.set_epoch(epoch)
+
     train_loader = NumpyLoader(Subset(tr), args.batch_size, shuffle=True, seed=args.seed)
     val_loader = NumpyLoader(Subset(va), args.batch_size)
     test_loader = NumpyLoader(Subset(te), args.batch_size)
@@ -315,6 +318,11 @@ def main(argv=None):
     with GracefulShutdown() as shutdown:
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
+            # deterministic resume: noise chain, shuffle order, and
+            # augmentation draws are pure functions of (seed, epoch)
+            rng = jax.random.fold_in(jax.random.key(args.seed + 1), epoch)
+            for loader in (train_loader, val_loader):
+                loader.set_epoch(epoch)
             if epoch < args.kl_warmup_epochs:
                 kl_coeff = min_kl + (args.max_kl_coeff - min_kl) * (epoch / args.kl_warmup_epochs)
             else:
@@ -411,6 +419,7 @@ def main(argv=None):
         return params, log_dict
 
     # final test evaluation
+    rng = jax.random.fold_in(jax.random.key(args.seed + 1), args.num_epochs)
     test_recons = 0.0
     k = -1
     for k, batch in enumerate(test_loader):

@@ -118,6 +118,9 @@ class PairedDataset:
     def __len__(self):
         return len(self.paired_indices)
 
+    def set_epoch(self, epoch):  # deterministic-resume augmentation
+        self.base.set_epoch(epoch)
+
     def __getitem__(self, idx):
         idx_2d, idx_3d = self.paired_indices[idx]
         s2d = self.base[idx_2d]
@@ -319,6 +322,10 @@ def main(argv=None):
     with GracefulShutdown() as shutdown:
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
+            # deterministic resume: shuffle order + augmentation draws are
+            # pure functions of (seed, epoch); the loss paths use no rng
+            for loader in (train_loader, val_loader):
+                loader.set_epoch(epoch)
             kl_coeff = args.beta_kl  # KL itself is 0 in stage 2
             running = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
             i = -1
