@@ -153,8 +153,14 @@ def train(
     mesh = None
     data_parallel = data_parallel and getattr(args, "data_parallel", True)
     model_parallel = int(getattr(args, "model_parallel", 1) or 1)
+    fsdp = bool(getattr(args, "fsdp", False))
+    if fsdp and model_parallel > 1:
+        raise ValueError("--fsdp composes storage sharding over the data "
+                         "axis; combine with --model-parallel is not "
+                         "supported (pick one)")
     if data_parallel and jax.device_count() > 1:
-        from ..parallel import make_mesh, replicate, shard_predictor_tp
+        from ..parallel import (make_mesh, replicate, shard_predictor_fsdp,
+                                shard_predictor_tp)
 
         n = jax.device_count()
         if model_parallel > 1:
@@ -167,12 +173,17 @@ def train(
             predictor = shard_predictor_tp(predictor, mesh)
             print(f"Mesh: data({n // model_parallel}) x "
                   f"model({model_parallel}) — tensor-parallel weights")
+        elif fsdp:
+            mesh = make_mesh(("data",))
+            predictor = shard_predictor_fsdp(predictor, mesh)
+            print(f"FSDP over {n} devices — params/Adam moments sharded on "
+                  f"the data axis (ZeRO-3), batch sharded alongside")
         else:
             mesh = make_mesh(("data",))
             predictor = replicate(predictor, mesh)
             print(f"Data-parallel mesh over {n} devices")
         opt_state = replicate(opt_state, mesh)
-        if model_parallel > 1:
+        if model_parallel > 1 or fsdp:
             # Adam moments follow the param shardings (elementwise init)
             opt_state = optimizer.init(predictor.unet_params)
 
@@ -194,18 +205,28 @@ def train(
         for key in log_dict["physics_metrics"]:
             log_dict["physics_metrics"][key] = \
                 prev.get("physics_metrics", {}).get(key, [])[:start_epoch]
+        if log_dict["train_loss"]:
+            # a resume that trains no further epochs (e.g. a study trial that
+            # finished training but crashed before being recorded) must still
+            # return the real losses, not the NaN initializer
+            avg_train_loss = log_dict["train_loss"][-1]
+            avg_val_loss = log_dict["val_loss"][-1]
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_loss:.6f})")
-        if mesh is not None and model_parallel > 1:
+        if mesh is not None and (model_parallel > 1 or fsdp):
             # restored arrays land host-side; re-apply the weight shardings.
             # The restored Adam moments keep their values and are placed by
             # GSPMD on the first step (replicated — full-state resume is
             # preserved at a memory cost; the update re-shards them after
             # one step since the elementwise update follows the grads).
-            from ..parallel import shard_predictor_tp
+            from ..parallel import shard_predictor_fsdp, shard_predictor_tp
 
-            predictor = shard_predictor_tp(predictor, mesh)
-            print("Re-sharded restored weights over the model axis")
+            if model_parallel > 1:
+                predictor = shard_predictor_tp(predictor, mesh)
+                print("Re-sharded restored weights over the model axis")
+            else:
+                predictor = shard_predictor_fsdp(predictor, mesh)
+                print("Re-sharded restored weights FSDP over the data axis")
 
     model_path = osp.join(log_folder, "model.msgpack")
     best_model_path = osp.join(log_folder, "best_model.msgpack")
@@ -405,12 +426,31 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
     same median-rule pruning contract as the reference study's default pruner.
     ``should_stop`` stops the study at the next trial boundary (the running
     trial stops within one step via train()'s own handling and is NOT
-    recorded — only fully trained trials enter study.json)."""
+    recorded — only fully trained trials enter study.json).
+
+    Crash-safe: a restarted study reloads study.json (the reference's Optuna
+    SQLite storage resumes at trial granularity the same way, train.py:376-390),
+    replays the trial-parameter RNG stream over the recorded trials so every
+    trial's hyperparameters stay deterministic, re-feeds the pruner the
+    recorded trials' intermediate values, and resumes an interrupted trial
+    in place from its run dir's train_state.msgpack."""
+    import glob as _glob
+
     rng = pyrandom.Random(2024)
     n_trials = n_trials or args.n_trials
-    results = []
     study_path = osp.join(args.save_dir, "study.json")
+    results = []
+    if osp.exists(study_path):
+        with open(study_path) as f:
+            results = json.load(f)
+        if results:
+            print(f"Resuming study: {len(results)} trials already recorded "
+                  f"in {study_path}")
     pruner = MedianPruner(n_startup_trials=n_startup_trials)
+    for r in results:
+        if r["state"] == "COMPLETE":
+            pruner._completed.append(
+                {int(e): v for e, v in r.get("intermediates", {}).items()})
 
     for trial_idx in range(n_trials):
         if should_stop is not None and should_stop():
@@ -428,9 +468,33 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
             args.features = [int(args.bottom_feature_channels / v) for v in reversed(factors)]
         lo, hi = args.range_learning_rate
         args.learning_rate = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+        if trial_idx < len(results):
+            continue  # already recorded; params drawn above only to keep the
+            #           RNG stream aligned with the original study
+
+        # an interrupted attempt of THIS trial left a run dir: resume it
+        # full-state instead of retraining (the dirname encodes b-/lr- which
+        # identify the trial; make_log_folder, reference config.py:469-512)
+        args.resume = None
+        tag = f"b-{args.batch_size}-lr-{args.learning_rate:.2e}-"
+        cand = [d for d in sorted(_glob.glob(osp.join(args.save_dir, f"*{tag}*")))
+                if osp.exists(osp.join(d, "train_state.msgpack"))]
+        if cand:
+            args.resume = cand[-1]
+            print(f"Trial {trial_idx} resuming from {args.resume}")
 
         train_loader, val_loader, test_loader = get_loader_fn(args)[0]
         report_fn = pruner.make_report_fn()
+        if args.resume:
+            # replay the interrupted attempt's completed epochs into the
+            # report stream so pruning sees the full curve
+            try:
+                with open(osp.join(args.resume, "log.json")) as f:
+                    prev = json.load(f)
+                for e, v in zip(prev.get("epoch", []), prev.get("val_loss", [])):
+                    report_fn.intermediates[int(e)] = float(v)
+            except (OSError, ValueError):
+                pass
         try:
             _, val_loss = train(args, train_loader, val_loader, test_loader,
                                 report_fn=report_fn, should_stop=should_stop)
@@ -442,10 +506,14 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
         except TrialPruned as e:
             print(f"Trial {trial_idx} pruned: {e}")
             val_loss, state = float("nan"), "PRUNED"
+        finally:
+            args.resume = None
         results.append({
             "trial": trial_idx, "state": state, "value": val_loss,
             "params": {"batch_size": args.batch_size, "kernel_size": args.kernel_size,
                        "levels": levels, "learning_rate": args.learning_rate},
+            # persisted so a resumed study can rebuild the pruner's medians
+            "intermediates": dict(report_fn.intermediates),
         })
         with open(study_path, "w") as f:
             json.dump(results, f, indent=2)

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                                   "weights over a 'model' mesh axis "
                                   "(parallel/tp.py); devices must divide "
                                   "data x model")
+    group_train.add_argument("--fsdp", type=str_to_bool, default=False,
+                             help="fully-sharded data parallelism: shard "
+                                  "params + Adam moments over the 'data' "
+                                  "mesh axis (ZeRO-3 semantics, "
+                                  "parallel/fsdp.py); cuts per-chip "
+                                  "state memory by the mesh size")
     group_train.add_argument("--learning-rate", type=float, default=1e-4)
     group_train.add_argument("--weight-decay", type=float, default=0.0)
     group_train.add_argument("--scheduler-flag", type=str_to_bool, default=False)

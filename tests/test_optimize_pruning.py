@@ -75,3 +75,70 @@ def test_optimize_wires_pruning_and_records_state(tmp_path, monkeypatch):
     assert [r["state"] for r in saved] == states
     import math
     assert math.isnan(saved[1]["value"])
+
+
+def test_optimize_study_resumes_crash_safe(tmp_path, monkeypatch):
+    """A restarted study skips recorded trials (identical params via RNG
+    replay), re-feeds the pruner from persisted intermediates, and resumes an
+    interrupted trial in place from its run dir (mirrors the reference's
+    Optuna-SQLite trial-granularity resume, train.py:376-390)."""
+    import os
+
+    seen = []
+
+    def fake_train(args, tr, va, te, report_fn=None, **kw):
+        seen.append({"lr": args.learning_rate, "batch": args.batch_size,
+                     "resume": getattr(args, "resume", None),
+                     "preloaded": dict(report_fn.intermediates)})
+        for e, v in enumerate([1.0, 0.9, 0.8]):
+            report_fn(e, v)
+        return 0.8, 0.8
+
+    monkeypatch.setattr(td, "train", fake_train)
+    args = types.SimpleNamespace(
+        save_dir=str(tmp_path), n_trials=2,
+        range_batch_size=(1, 2), range_kernel_size=(3, 5), range_level=(2, 3),
+        range_learning_rate=(1e-4, 1e-2), top_bottom=True,
+        top_feature_channels=8, bottom_feature_channels=32,
+    )
+    loaders = lambda a: [(None, None, None)]
+    first = td.optimize(args, loaders, n_startup_trials=1)
+    assert len(seen) == 2 and len(first) == 2
+
+    # restart with a longer budget: trials 0-1 skip with identical params,
+    # and a terrible trial 2 gets PRUNED — which can only happen if the
+    # pruner's medians were rebuilt from the persisted intermediates
+    def bad_train(args, tr, va, te, report_fn=None, **kw):
+        seen.append({"lr": args.learning_rate})
+        report_fn(0, 50.0)  # way above the recorded epoch-0 median of 1.0
+        return 50.0, 50.0
+
+    monkeypatch.setattr(td, "train", bad_train)
+    args.n_trials = 3
+    second = td.optimize(args, loaders, n_startup_trials=1)
+    assert len(seen) == 3  # only one new train() call
+    assert [r["state"] for r in second] == ["COMPLETE", "COMPLETE", "PRUNED"]
+    for old, new in zip(first, second):
+        assert old["params"] == new["params"]
+
+    # interrupted-trial resume: drop trial 2's record, leave a matching run
+    # dir with a train_state.msgpack -> the retry resumes it in place with
+    # the prior epochs replayed into the report stream
+    with open(tmp_path / "study.json") as f:
+        saved = json.load(f)
+    p = saved[2]["params"]
+    del saved[2]
+    with open(tmp_path / "study.json", "w") as f:
+        json.dump(saved, f)
+    run = tmp_path / (f"20260818_x_latent-diffusion_in-17-out-8-"
+                      f"b-{p['batch_size']}-lr-{p['learning_rate']:.2e}-ep-3")
+    os.makedirs(run)
+    (run / "train_state.msgpack").write_bytes(b"")
+    with open(run / "log.json", "w") as f:
+        json.dump({"epoch": [0, 1], "val_loss": [3.0, 2.5]}, f)
+
+    monkeypatch.setattr(td, "train", fake_train)
+    third = td.optimize(args, loaders, n_startup_trials=1)
+    assert seen[-1]["resume"] == str(run)
+    assert seen[-1]["preloaded"] == {0: 3.0, 1: 2.5}
+    assert [r["state"] for r in third] == ["COMPLETE", "COMPLETE", "COMPLETE"]

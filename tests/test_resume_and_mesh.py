@@ -91,6 +91,45 @@ def test_cv_mode_trains_each_fold(shared_data_dir, shared_stage1_dir,
         assert osp.exists(osp.join(save_dir, run, "model.msgpack"))
 
 
+def test_cv_mode_is_crash_safe(shared_data_dir, shared_stage1_dir,
+                               shared_stage2_dir, tmp_path_factory, capsys):
+    """Re-running a CV study skips complete folds and resumes incomplete
+    ones full-state (mirrors grid search's results.csv resume) instead of
+    retraining from fold 1."""
+    import train as train_cli
+    save_dir = str(tmp_path_factory.mktemp("cv_resume_runs"))
+    base = [
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "2",
+        "--mode", "CV", "--k-folds", "2",
+        "--vae-encoder-path", shared_stage2_dir,
+        "--vae-decoder-path", shared_stage1_dir,
+        "--data-parallel", "false",
+    ]
+    train_cli.main(base + ["--num-epochs", "1"])
+    runs = sorted(os.listdir(save_dir))
+    assert len(runs) == 2
+    logs1 = [json.load(open(osp.join(save_dir, r, "log.json"))) for r in runs]
+    capsys.readouterr()
+
+    # identical re-run: both folds skip, nothing retrains, no new dirs
+    train_cli.main(base + ["--num-epochs", "1"])
+    assert capsys.readouterr().out.count("already complete") == 2
+    assert sorted(os.listdir(save_dir)) == runs
+    logs2 = [json.load(open(osp.join(save_dir, r, "log.json"))) for r in runs]
+    for a, b in zip(logs1, logs2):
+        assert a["train_loss"] == b["train_loss"]
+
+    # a longer study resumes each fold from train_state.msgpack in place
+    train_cli.main(base + ["--num-epochs", "2"])
+    assert capsys.readouterr().out.count("resuming from") == 2
+    assert sorted(os.listdir(save_dir)) == runs  # resumed in place, no new dirs
+    for r, old in zip(runs, logs1):
+        log = json.load(open(osp.join(save_dir, r, "log.json")))
+        assert log["epoch"] == [0, 1]
+        np.testing.assert_allclose(log["train_loss"][:1], old["train_loss"][:1])
+
+
 def test_resume_continues_training(shared_data_dir, shared_stage1_dir,
                                    tmp_path_factory):
     import train as train_cli
@@ -147,3 +186,24 @@ def test_train_state_roundtrip_preserves_optimizer(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(opt_state2))
+
+
+def test_fsdp_cli_training(shared_data_dir, shared_stage1_dir,
+                           tmp_path_factory, capsys):
+    """--fsdp true on the 8-device mesh: params + Adam moments sharded over
+    the data axis (ZeRO-3; parallel/fsdp.py), through the real CLI."""
+    import jax
+    assert jax.device_count() >= 8
+    import train as train_cli
+    save_dir = str(tmp_path_factory.mktemp("fsdp_runs"))
+    train_cli.main([
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "4", "--num-epochs", "1",
+        "--vae-path", shared_stage1_dir, "--shuffle", "true",
+        "--fsdp", "true",
+    ])
+    assert "FSDP over 8 devices" in capsys.readouterr().out
+    runs = os.listdir(save_dir)
+    log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
+    assert np.isfinite(log["train_loss"]).all()
+    assert np.isfinite(log["val_loss"]).all()

@@ -285,3 +285,62 @@ def test_graft_entry_single_chip_traces():
     # 139M-param UNet on CPU here costs ~5 min of suite time
     out = jax.eval_shape(fn, *args)
     assert out.shape == (11, 32, 32, 8)
+
+
+def test_fsdp_matches_single_device_and_shards_state():
+    """ZeRO-3 semantics from annotations alone (parallel/fsdp.py): params +
+    Adam moments sharded over the same 'data' axis as the batch must produce
+    the single-device trajectory, with per-chip state memory actually cut."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    from diffusion_model_project_tpu.parallel import shard_predictor_fsdp
+
+    pred = make_pred()
+    opt = optax.adam(1e-3)
+    batch = make_batch(8)
+    rng = jax.random.key(5)
+    step = jax.jit(make_diffusion_train_step(opt))
+
+    pred_1, opt_1, aux_1 = step(pred, opt.init(pred.unet_params), batch, rng)
+
+    mesh = make_mesh(("data",))
+    with mesh:
+        pred_f = shard_predictor_fsdp(pred, mesh)
+        weights = [x for x in jax.tree_util.tree_leaves(pred_f.unet_params)
+                   if x.ndim >= 2]
+        assert weights and all(not w.sharding.is_fully_replicated
+                               for w in weights)
+        # the memory claim: each chip holds 1/8 of every sharded leaf
+        for w in weights:
+            shard = w.addressable_shards[0].data
+            assert shard.size * 8 == w.size, (w.shape, shard.shape)
+        batch_f = shard_batch(batch, mesh)
+        opt_f = opt.init(pred_f.unet_params)  # moments inherit shardings
+        mu = [x for x in jax.tree_util.tree_leaves(opt_f)
+              if hasattr(x, "ndim") and x.ndim >= 2]
+        assert mu and all(not m.sharding.is_fully_replicated for m in mu)
+        pred_2, opt_2, aux_2 = step(pred_f, opt_f, batch_f, rng)
+
+    np.testing.assert_allclose(float(aux_1["loss"]), float(aux_2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        pred_1.unet_params, pred_2.unet_params)
+    # the Adam update must keep the weights sharded (no silent re-gather)
+    updated = [x for x in jax.tree_util.tree_leaves(pred_2.unet_params)
+               if x.ndim >= 2]
+    assert any(not w.sharding.is_fully_replicated for w in updated)
+
+    # frozen VAE params are sharded too and the DDIM inference path agrees
+    vae_w = [x for x in jax.tree_util.tree_leaves(pred_f.vae_params)
+             if x.ndim >= 2 and any(d % 8 == 0 for d in x.shape)]
+    assert vae_w and all(not w.sharding.is_fully_replicated for w in vae_w)
+    r = np.random.default_rng(7)
+    noise = jnp.asarray(r.standard_normal((3, 4, 8, 8)).astype(np.float32))
+    kw = dict(num_steps=3, eta=0.0, noise=noise)
+    img, v2d = batch["img"][:1], batch["U_2d"][:1]
+    out_1 = jax.jit(lambda p: p.predict_ddim(img, v2d, **kw))(pred)
+    with mesh:
+        out_2 = jax.jit(lambda p: p.predict_ddim(img, v2d, **kw))(pred_f)
+    np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_2),
+                               rtol=1e-4, atol=1e-5)

@@ -53,6 +53,10 @@ def main(argv=None):
             train(args, train_loader, val_loader, test_loader,
                   should_stop=shutdown)
         elif args.mode == "CV":
+            import glob
+            import json
+            import os.path as osp
+
             folds = get_loader(
                 root_dir=args.root_dir, batch_size=args.batch_size,
                 shuffle=args.shuffle, augment=args.augment,
@@ -62,8 +66,32 @@ def main(argv=None):
                 if shutdown.requested:
                     print(f"CV preempted after fold {i}/{args.k_folds}")
                     break
+                name = f"kfold-{i + 1}.{args.k_folds}"
+                args.name = name
+                # crash-safe CV (mirrors grid search's results.csv resume):
+                # a fold whose run dir is complete is skipped; an interrupted
+                # fold resumes full-state from its train_state.msgpack; only
+                # untouched folds train from scratch
+                args.resume = None
+                existing = sorted(glob.glob(
+                    osp.join(args.save_dir, f"*_{name}_*")))
+                if existing:
+                    run_dir = existing[-1]
+                    log_path = osp.join(run_dir, "log.json")
+                    state_path = osp.join(run_dir, "train_state.msgpack")
+                    if osp.exists(log_path):
+                        with open(log_path) as f:
+                            done = len(json.load(f).get("epoch", []))
+                        if done >= args.num_epochs:
+                            print(f"Fold {i + 1}/{args.k_folds} already "
+                                  f"complete ({done} epochs) in {run_dir}; "
+                                  f"skipping")
+                            continue
+                    if osp.exists(state_path):
+                        print(f"Fold {i + 1}/{args.k_folds} resuming "
+                              f"from {run_dir}")
+                        args.resume = run_dir
                 print(f"Cross-Validation [{i + 1}/{args.k_folds}]")
-                args.name = f"kfold-{i + 1}.{args.k_folds}"
                 train(args, train_loader, val_loader, test_loader,
                       should_stop=shutdown)
         elif args.mode == "optimize":
