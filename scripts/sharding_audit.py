@@ -2,7 +2,7 @@
 
 Compiles the real diffusion training step on a virtual 8-device CPU mesh
 under each parallelism config (dp, dp x slice, dp x model, dp x slice x
-model) and counts the collective ops in the optimized HLO — evidence that
+model, fsdp) and counts the collective ops in the optimized HLO — evidence that
 the sharding annotations produce the expected communication pattern (e.g.
 the data-parallel gradient all-reduce exists; tensor parallelism introduces
 reduce-scatter/all-gather around the channel-sharded convs) rather than
@@ -31,7 +31,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
 from diffusion_model_project_tpu.parallel import (
-    make_mesh, replicate, shard_batch, shard_predictor_tp)
+    make_mesh, replicate, shard_batch, shard_predictor_fsdp,
+    shard_predictor_tp)
 from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
 
 COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
@@ -92,6 +93,31 @@ def main():
         print(f"{name:30s} total={total:4d}  " +
               "  ".join(f"{k}={v}" for k, v in counts.items() if v))
 
+    # ---- FSDP: params + Adam moments sharded over the data axis -----------
+    # The ZeRO-3 schedule must appear as weight all-gathers (each layer's
+    # shard gathered just in time for its conv) and the gradient reduction
+    # must exist; nothing may silently re-replicate the state.
+    mesh = make_mesh(("data",))
+    with mesh:
+        p = shard_predictor_fsdp(pred, mesh)
+        b = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+        o = opt.init(p.unet_params)
+        compiled = jax.jit(step).lower(p, o, b, jax.random.key(0)).compile()
+    counts = collective_counts(compiled)
+    total = sum(counts.values())
+    print(f"{'fsdp(8)':30s} total={total:4d}  " +
+          "  ".join(f"{k}={v}" for k, v in counts.items() if v))
+    assert counts["all-gather"] > 0, (
+        "fsdp must all-gather sharded weights just in time; got "
+        f"{dict(counts)}")
+    assert counts["all-reduce"] + counts["reduce-scatter"] > 0, (
+        f"fsdp lost the gradient reduction; got {dict(counts)}")
+    # the updated params handed back to the caller must stay sharded
+    out_shardings = jax.tree_util.tree_leaves(
+        compiled.output_shardings[0].unet_params)
+    assert any(not s.is_fully_replicated for s in out_shardings), (
+        "fsdp output params silently re-replicated")
+
     # ---- batch-sharded INFERENCE: the multi-chip throughput path ----------
     # Each volume's reverse diffusion is independent, so sharding the batch
     # axis must produce a program with ZERO inter-chip collectives — the
@@ -119,7 +145,9 @@ def main():
           "collective-permute halo exchanges for the depth-3 conv3d stencils "
           "plus boundary all-gathers; model adds the Megatron pattern — "
           "all-reduces for the row-parallel convs' partial sums and "
-          "all-gathers where activations re-enter replicated ops. "
+          "all-gathers where activations re-enter replicated ops; fsdp shows "
+          "the ZeRO-3 schedule — just-in-time weight all-gathers plus the "
+          "gradient reduction, with the updated params staying sharded. "
           "Batch-sharded INFERENCE is collective-free: per-chip throughput "
           "is the whole story, and N-chip throughput is N x the single-chip "
           "bench to within host-dispatch losses.")

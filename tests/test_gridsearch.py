@@ -22,7 +22,7 @@ TINY_GRID = [
 
 def test_gridsearch_ledger_resume_and_reports(
         shared_data_dir, shared_stage1_dir, shared_stage2_dir, tmp_path,
-        monkeypatch):
+        monkeypatch, capsys):
     import gridsearch_diffusion as gs
 
     monkeypatch.setattr(gs, "GRID", TINY_GRID)
@@ -58,3 +58,22 @@ def test_gridsearch_ledger_resume_and_reports(
     gs.main(argv + ["--grid-index", "1"])
     with open(results_csv) as f:
         assert len(list(csv.DictReader(f))) == len(TINY_GRID)
+
+    # an INTERRUPTED combo (run dir with train_state.msgpack but no ledger
+    # row) resumes full-state in place instead of retraining: drop combo 1's
+    # row, re-run, and the recorded losses must match the original training
+    capsys.readouterr()
+    with open(results_csv) as f:
+        all_rows = list(csv.DictReader(f))
+    with open(results_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=all_rows[0].keys())
+        w.writeheader()
+        w.writerow(all_rows[0])
+    gs.main(argv + ["--grid-index", "1"])
+    out = capsys.readouterr().out
+    assert "[resume]" in out
+    with open(results_csv) as f:
+        rows2 = list(csv.DictReader(f))
+    assert len(rows2) == len(TINY_GRID)
+    np.testing.assert_allclose(float(rows2[1]["val_loss"]),
+                               float(all_rows[1]["val_loss"]))

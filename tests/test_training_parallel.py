@@ -344,3 +344,44 @@ def test_fsdp_matches_single_device_and_shards_state():
         out_2 = jax.jit(lambda p: p.predict_ddim(img, v2d, **kw))(pred_f)
     np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fsdp_specs_shard_published_flagship_params():
+    """fsdp_param_specs must shard every heavyweight leaf of the PUBLISHED
+    architectures over an 8-way data axis (shapes via jax.eval_shape, no
+    init cost) — the memory claim holds at real scale, not just test widths."""
+    from jax.sharding import PartitionSpec as P
+    from diffusion_model_project_tpu.models.unet import UNet
+    from diffusion_model_project_tpu.models.vae import DualBranchVAE
+    from diffusion_model_project_tpu.parallel import fsdp_param_specs
+    from diffusion_model_project_tpu.utils.config import PUBLISHED_UNET_KWARGS
+
+    unet = UNet(**PUBLISHED_UNET_KWARGS)
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, jnp.zeros((1, 64, 64, 17)),
+                            jnp.zeros((1,), jnp.int32)),
+        jax.random.key(0))["params"]
+    vae = DualBranchVAE(latent_channels=8, features=(128, 256, 512))
+    dummy_v = jnp.zeros((1, 3, 32, 32, 3))
+    vshapes = jax.eval_shape(
+        lambda k1, k2: vae.init({"params": k1, "sample": k2},
+                                dummy_v, dummy_v),
+        jax.random.key(0), jax.random.key(1))["params"]
+
+    for tree in (shapes, vshapes):
+        specs = fsdp_param_specs(tree, n=8)
+        flat = [(jax.tree_util.keystr(k), leaf, spec)
+                for (k, leaf), (_, spec) in zip(
+                    jax.tree_util.tree_flatten_with_path(tree)[0],
+                    jax.tree_util.tree_flatten_with_path(specs)[0])]
+        total = sum(np.prod(leaf.shape) for _, leaf, _ in flat)
+        sharded = sum(np.prod(leaf.shape) for _, leaf, spec in flat
+                      if spec != P())
+        for key, leaf, spec in flat:
+            # every multi-dim leaf with any 8-divisible dim is sharded
+            if leaf.ndim >= 2 and any(d % 8 == 0 for d in leaf.shape):
+                assert spec != P(), (key, leaf.shape)
+                d = spec.index("data")
+                assert leaf.shape[d] % 8 == 0
+        # the memory story: >=99% of the parameter bytes are sharded
+        assert sharded / total > 0.99, sharded / total
