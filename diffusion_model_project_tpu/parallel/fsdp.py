@@ -17,9 +17,10 @@ drops by the mesh size while the math stays identical:
   - Adam moments / EMA inherit the param shardings for free because
     ``optimizer.init`` is elementwise over already-sharded params.
 
-Composes with tensor parallelism (``parallel/tp.py``): tp shards channels
-over ``model`` for compute, fsdp shards storage over ``data``; this module
-leaves any dim already annotated by tp alone by operating on its own axis.
+Mutually exclusive with tensor parallelism (``parallel/tp.py``; train()
+raises on ``--fsdp`` + ``--model-parallel``): tp shards channels for
+compute, fsdp shards storage — composing them would need merged per-leaf
+specs (one dim per axis), which nothing here implements.
 
 Correctness is locked by tests/test_training_parallel.py (fsdp == replicated
 single-device trajectories) and the per-leaf memory reduction is asserted on
@@ -69,11 +70,14 @@ def shard_params_fsdp(params: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 def shard_predictor_fsdp(pred, mesh: Mesh, axis: str = "data"):
     """Predictor with UNet+VAE params fully sharded over ``mesh[axis]``;
-    every other leaf (scheduler tables, normalizer) replicated."""
+    every other leaf (scheduler tables, normalizer) replicated.
+
+    Params go from their source placement straight to the sharded layout —
+    replicating them first would transiently hold a full copy per chip,
+    the exact peak this sharding exists to avoid."""
     replicated = NamedSharding(mesh, P())
-    pred = jtu.tree_map(lambda x: jax.device_put(x, replicated), pred)
-    return dataclasses.replace(
-        pred,
-        unet_params=shard_params_fsdp(pred.unet_params, mesh, axis),
-        vae_params=shard_params_fsdp(pred.vae_params, mesh, axis),
-    )
+    unet = shard_params_fsdp(pred.unet_params, mesh, axis)
+    vae = shard_params_fsdp(pred.vae_params, mesh, axis)
+    small = dataclasses.replace(pred, unet_params=None, vae_params=None)
+    small = jtu.tree_map(lambda x: jax.device_put(x, replicated), small)
+    return dataclasses.replace(small, unet_params=unet, vae_params=vae)

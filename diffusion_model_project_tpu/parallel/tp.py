@@ -95,11 +95,13 @@ def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model") -> Any:
 
 def shard_predictor_tp(pred, mesh: Mesh, axis: str = "model"):
     """Predictor with UNet+VAE params tensor-parallel over ``mesh[axis]``;
-    every other leaf (scheduler tables, normalizer) replicated."""
+    every other leaf (scheduler tables, normalizer) replicated.
+
+    Params go straight to their sharded layout (no transient replicated
+    copy — that per-chip peak is what model parallelism exists to avoid)."""
     replicated = NamedSharding(mesh, P())
-    pred = jtu.tree_map(lambda x: jax.device_put(x, replicated), pred)
-    return dataclasses.replace(
-        pred,
-        unet_params=shard_params_tp(pred.unet_params, mesh, axis),
-        vae_params=shard_params_tp(pred.vae_params, mesh, axis),
-    )
+    unet = shard_params_tp(pred.unet_params, mesh, axis)
+    vae = shard_params_tp(pred.vae_params, mesh, axis)
+    small = dataclasses.replace(pred, unet_params=None, vae_params=None)
+    small = jtu.tree_map(lambda x: jax.device_put(x, replicated), small)
+    return dataclasses.replace(small, unet_params=unet, vae_params=vae)

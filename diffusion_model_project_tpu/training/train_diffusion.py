@@ -182,10 +182,14 @@ def train(
             mesh = make_mesh(("data",))
             predictor = replicate(predictor, mesh)
             print(f"Data-parallel mesh over {n} devices")
-        opt_state = replicate(opt_state, mesh)
         if model_parallel > 1 or fsdp:
-            # Adam moments follow the param shardings (elementwise init)
+            # Adam moments follow the param shardings (elementwise init);
+            # never materialize replicated moments first — for FSDP that
+            # transient full-size copy is exactly the memory the flag exists
+            # to avoid
             opt_state = optimizer.init(predictor.unet_params)
+        else:
+            opt_state = replicate(opt_state, mesh)
 
     rng = jax.random.key(seed + 1)
     step_cache: dict = {}
@@ -308,14 +312,19 @@ def train(
         if avg_val_loss < best_loss:
             save_predictor(predictor, best_model_path, writer=ckpt_writer)
             best_loss = avg_val_loss
+        # FIFO order: model.msgpack -> log.json -> train_state.msgpack.
+        # The log stays behind the epoch's weights (log.json's params always
+        # describe an existing model.msgpack) but AHEAD of the resume state:
+        # a crash between the last two leaves train_state one epoch behind
+        # the log, and resume simply re-trains that epoch deterministically
+        # ((seed, epoch)-pure streams) after truncating the log to
+        # start_epoch — no epoch's losses are ever lost, and a dir holding
+        # train_state.msgpack always holds a log.json at least as new.
+        ckpt_writer.submit(log_path, json.dumps(log_dict, indent=4).encode(),
+                           serialize=bytes)
         save_train_state(osp.join(log_folder, "train_state.msgpack"),
                          predictor, opt_state, epoch, best_loss,
                          writer=ckpt_writer)
-        # log goes through the same FIFO queue AFTER the weights (encoded
-        # eagerly — log_dict mutates next epoch), so a crash can leave the
-        # log behind the weights but never ahead (reference sync order)
-        ckpt_writer.submit(log_path, json.dumps(log_dict, indent=4).encode(),
-                           serialize=bytes)
 
         print(f"Epoch {epoch}: train_loss={avg_train_loss:.6f} | "
               f"val_loss={avg_val_loss:.6f} | time={dtime:.2f} s")
@@ -376,6 +385,32 @@ class TrialPruned(Exception):
     pass
 
 
+def find_resumable_run(pattern: str):
+    """Newest run dir matching glob ``pattern`` that can resume full-state.
+
+    A dir qualifies only with BOTH train_state.msgpack and log.json — the
+    async writer's FIFO order (log before state, train() epoch loop)
+    guarantees any dir holding a state also holds a log at least as new, so
+    a state-only dir is a corrupt/foreign artifact that must not wedge the
+    crash-safe searchers (CV / optimize / grid search) in a retry loop.
+
+    Returns ``(run_dir, completed_epochs)`` or ``(None, 0)``.
+    """
+    import glob as _glob
+
+    for d in sorted(_glob.glob(pattern), reverse=True):
+        if not (osp.exists(osp.join(d, "train_state.msgpack"))
+                and osp.exists(osp.join(d, "log.json"))):
+            continue
+        try:
+            with open(osp.join(d, "log.json")) as f:
+                done = len(json.load(f).get("epoch", []))
+        except (OSError, ValueError):
+            continue
+        return d, done
+    return None, 0
+
+
 class MedianPruner:
     """Optuna MedianPruner semantics — the default pruner of the reference's
     `optuna.create_study` (train.py:385-390), exercised via trial.report /
@@ -418,6 +453,11 @@ class MedianPruner:
     def complete_trial(self, report_fn):
         self._completed.append(dict(report_fn.intermediates))
 
+    def seed_completed(self, intermediates: dict):
+        """Re-feed one recorded trial's {epoch: value} curve (study resume)."""
+        self._completed.append({int(e): float(v)
+                                for e, v in intermediates.items()})
+
 
 def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
              n_startup_trials: int = 5, should_stop=None):
@@ -434,8 +474,6 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
     trial's hyperparameters stay deterministic, re-feeds the pruner the
     recorded trials' intermediate values, and resumes an interrupted trial
     in place from its run dir's train_state.msgpack."""
-    import glob as _glob
-
     rng = pyrandom.Random(2024)
     n_trials = n_trials or args.n_trials
     study_path = osp.join(args.save_dir, "study.json")
@@ -449,8 +487,7 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
     pruner = MedianPruner(n_startup_trials=n_startup_trials)
     for r in results:
         if r["state"] == "COMPLETE":
-            pruner._completed.append(
-                {int(e): v for e, v in r.get("intermediates", {}).items()})
+            pruner.seed_completed(r.get("intermediates", {}))
 
     for trial_idx in range(n_trials):
         if should_stop is not None and should_stop():
@@ -475,12 +512,10 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
         # an interrupted attempt of THIS trial left a run dir: resume it
         # full-state instead of retraining (the dirname encodes b-/lr- which
         # identify the trial; make_log_folder, reference config.py:469-512)
-        args.resume = None
-        tag = f"b-{args.batch_size}-lr-{args.learning_rate:.2e}-"
-        cand = [d for d in sorted(_glob.glob(osp.join(args.save_dir, f"*{tag}*")))
-                if osp.exists(osp.join(d, "train_state.msgpack"))]
-        if cand:
-            args.resume = cand[-1]
+        args.resume, _ = find_resumable_run(
+            osp.join(args.save_dir,
+                     f"*b-{args.batch_size}-lr-{args.learning_rate:.2e}-*"))
+        if args.resume:
             print(f"Trial {trial_idx} resuming from {args.resume}")
 
         train_loader, val_loader, test_loader = get_loader_fn(args)[0]

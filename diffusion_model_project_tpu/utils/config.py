@@ -237,28 +237,39 @@ def process_args(args: argparse.Namespace) -> dict:
     return out
 
 
+def run_descr(param_dict: dict, with_epochs: bool = True) -> str:
+    """The run-dirname's hyperparameter blob (reference config.py:469-512).
+
+    ``with_epochs=False`` drops the trailing ``-ep-N`` — the key the
+    crash-safe searchers match existing run dirs by (every hyperparameter
+    identifies the run; the epoch budget may legitimately grow between
+    invocations of a resumed study)."""
+    dataset_kwargs = param_dict["dataset"]
+    train_kwargs = param_dict["training"]
+    mk = train_kwargs["predictor"]["model_kwargs"]
+    descr = (
+        f"in-{mk['in_channels']}-out-{mk['out_channels']}-"
+        f"f-{len(mk['features'])}-k-{mk['kernel_size']}-p-{mk['padding_mode']}-"
+        f"a-{mk['attention']}-dr-{mk['dropout']}-"
+        f"wd-{train_kwargs['weight_decay']:.2e}-"
+        f"b-{dataset_kwargs['batch_size']}-"
+        f"lr-{train_kwargs['learning_rate']:.2e}"
+    )
+    if with_epochs:
+        descr += f"-ep-{train_kwargs['num_epochs']}"
+    return descr
+
+
 def make_log_folder(param_dict: dict) -> str:
     """Run-dirname encoding identical to reference config.py:469-512."""
     name = param_dict["name"]
     save_dir = param_dict["save_dir"]
-    dataset_kwargs = param_dict["dataset"]
-    train_kwargs = param_dict["training"]
-
-    batch_size = dataset_kwargs["batch_size"]
-    learning_rate = train_kwargs["learning_rate"]
-    num_epochs = train_kwargs["num_epochs"]
-    predictor_type = train_kwargs["predictor_type"]
-    mk = train_kwargs["predictor"]["model_kwargs"]
-    weight_decay = train_kwargs["weight_decay"]
+    predictor_type = param_dict["training"]["predictor_type"]
 
     time_stamp = datetime.now().strftime("%Y%m%d")
-    descr_str = (
-        f"in-{mk['in_channels']}-out-{mk['out_channels']}-"
-        f"f-{len(mk['features'])}-k-{mk['kernel_size']}-p-{mk['padding_mode']}-"
-        f"a-{mk['attention']}-dr-{mk['dropout']}-wd-{weight_decay:.2e}-"
-        f"b-{batch_size}-lr-{learning_rate:.2e}-ep-{num_epochs}"
-    )
-    log_folder = osp.join(save_dir, time_stamp + f"_{name}_{predictor_type}_" + descr_str)
+    log_folder = osp.join(
+        save_dir,
+        time_stamp + f"_{name}_{predictor_type}_" + run_descr(param_dict))
     if not osp.exists(log_folder):
         os.makedirs(log_folder)
     return log_folder

@@ -112,13 +112,12 @@ def train_single_config(cfg, args) -> dict:
     # an interrupted attempt of THIS config left a run dir: resume it
     # full-state instead of retraining (results.csv already skips COMPLETE
     # configs; this closes the mid-run gap the same way CV/optimize do)
-    import glob as _glob
-    cand = [d for d in sorted(_glob.glob(
-                osp.join(args.save_dir, run_name(cfg), "*")))
-            if osp.exists(osp.join(d, "train_state.msgpack"))]
-    if cand:
-        targs.resume = cand[-1]
-        print(f"[resume] {run_name(cfg)} from {cand[-1]}")
+    from diffusion_model_project_tpu.training.train_diffusion import (
+        find_resumable_run)
+    targs.resume, _ = find_resumable_run(
+        osp.join(args.save_dir, run_name(cfg), "*"))
+    if targs.resume:
+        print(f"[resume] {run_name(cfg)} from {targs.resume}")
 
     train_loader, val_loader, test_loader = get_loader(
         root_dir=args.root_dir, batch_size=args.batch_size, shuffle=True,

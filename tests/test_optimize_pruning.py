@@ -142,3 +142,35 @@ def test_optimize_study_resumes_crash_safe(tmp_path, monkeypatch):
     assert seen[-1]["resume"] == str(run)
     assert seen[-1]["preloaded"] == {0: 3.0, 1: 2.5}
     assert [r["state"] for r in third] == ["COMPLETE", "COMPLETE", "COMPLETE"]
+
+
+def test_find_resumable_run_requires_consistent_pair(tmp_path):
+    """Only dirs holding BOTH train_state.msgpack and log.json qualify (a
+    state-only dir is a corrupt artifact that must not wedge the crash-safe
+    searchers in a retry loop); newest match wins."""
+    import os
+
+    a = tmp_path / "20260101_run_a"
+    b = tmp_path / "20260102_run_b"
+    c = tmp_path / "20260103_run_c"
+    for d in (a, b, c):
+        os.makedirs(d)
+    # a: complete pair, 2 epochs; b: state only (rejected); c: log only
+    (a / "train_state.msgpack").write_bytes(b"")
+    with open(a / "log.json", "w") as f:
+        json.dump({"epoch": [0, 1]}, f)
+    (b / "train_state.msgpack").write_bytes(b"")
+    with open(c / "log.json", "w") as f:
+        json.dump({"epoch": [0]}, f)
+
+    run, done = td.find_resumable_run(str(tmp_path / "*run*"))
+    assert run == str(a) and done == 2
+
+    # corrupt log in the newest pair falls through to the next candidate
+    (c / "train_state.msgpack").write_bytes(b"")
+    with open(c / "log.json", "w") as f:
+        f.write("{not json")
+    run, done = td.find_resumable_run(str(tmp_path / "*run*"))
+    assert run == str(a) and done == 2
+
+    assert td.find_resumable_run(str(tmp_path / "*nomatch*")) == (None, 0)

@@ -53,9 +53,12 @@ def main(argv=None):
             train(args, train_loader, val_loader, test_loader,
                   should_stop=shutdown)
         elif args.mode == "CV":
-            import glob
-            import json
             import os.path as osp
+
+            from diffusion_model_project_tpu.training.train_diffusion import (
+                find_resumable_run)
+            from diffusion_model_project_tpu.utils.config import (
+                process_args, run_descr)
 
             folds = get_loader(
                 root_dir=args.root_dir, batch_size=args.batch_size,
@@ -70,27 +73,23 @@ def main(argv=None):
                 args.name = name
                 # crash-safe CV (mirrors grid search's results.csv resume):
                 # a fold whose run dir is complete is skipped; an interrupted
-                # fold resumes full-state from its train_state.msgpack; only
-                # untouched folds train from scratch
+                # fold resumes full-state; only untouched folds train from
+                # scratch. The match key includes every hyperparameter in the
+                # dirname (minus the extendable epoch budget) so a CV re-run
+                # with a changed config never skips into — or restores
+                # mismatched weights from — another config's folds.
+                descr = run_descr(process_args(args), with_epochs=False)
+                run_dir, done = find_resumable_run(
+                    osp.join(args.save_dir, f"*_{name}_*{descr}*"))
                 args.resume = None
-                existing = sorted(glob.glob(
-                    osp.join(args.save_dir, f"*_{name}_*")))
-                if existing:
-                    run_dir = existing[-1]
-                    log_path = osp.join(run_dir, "log.json")
-                    state_path = osp.join(run_dir, "train_state.msgpack")
-                    if osp.exists(log_path):
-                        with open(log_path) as f:
-                            done = len(json.load(f).get("epoch", []))
-                        if done >= args.num_epochs:
-                            print(f"Fold {i + 1}/{args.k_folds} already "
-                                  f"complete ({done} epochs) in {run_dir}; "
-                                  f"skipping")
-                            continue
-                    if osp.exists(state_path):
-                        print(f"Fold {i + 1}/{args.k_folds} resuming "
-                              f"from {run_dir}")
-                        args.resume = run_dir
+                if run_dir and done >= args.num_epochs:
+                    print(f"Fold {i + 1}/{args.k_folds} already complete "
+                          f"({done} epochs) in {run_dir}; skipping")
+                    continue
+                if run_dir:
+                    print(f"Fold {i + 1}/{args.k_folds} resuming "
+                          f"from {run_dir}")
+                    args.resume = run_dir
                 print(f"Cross-Validation [{i + 1}/{args.k_folds}]")
                 train(args, train_loader, val_loader, test_loader,
                       should_stop=shutdown)
