@@ -381,6 +381,15 @@ def load_train_state(path: str, predictor, opt_state):
     return predictor, opt_state, int(state["epoch"]) + 1, float(state["best_loss"])
 
 
+def peek_train_state_epoch(path: str) -> int:
+    """The epoch a train_state.msgpack resumes FROM (crash diagnostics /
+    consistency checks), without rebuilding predictor or optimizer."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return int(serialization.msgpack_restore(f.read())["epoch"]) + 1
+
+
 def retrieve_model_path(directory_or_url: str, filename: str = "model.pt") -> str:
     """Resolve a local dir or URL to a weights file path, downloading +
     unzipping from Zenodo when given a URL (reference helper.py:563-590)."""

@@ -1,0 +1,118 @@
+"""Hard-kill (SIGKILL) crash injection: no grace window, no signal handler.
+
+The preemption tests (test_preempt.py) cover the SIGTERM path; this covers
+the path with NO cleanup opportunity — an OOM-killer or spot reclaim that
+SIGKILLs the trainer mid-epoch. The guarantees under test are pure write
+discipline (utils/async_ckpt.py + the train() FIFO order model.msgpack ->
+log.json -> train_state.msgpack):
+
+  1. a killed run dir is never inconsistent: if train_state.msgpack exists,
+     log.json exists and records at least as many epochs as the state resumes
+     from (the state may lag the log by one epoch, never lead it);
+  2. resuming the killed dir replays the remaining epochs bitwise-identically
+     to an uninterrupted run ((seed, epoch)-pure streams).
+"""
+import json
+import os
+import os.path as osp
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from conftest import SHARED_UNET_ARGS
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+EPOCHS = 4
+
+
+def _argv(data_dir, stage1_dir, save_dir):
+    return [
+        "--root-dir", data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--batch-size", "2", "--num-epochs", str(EPOCHS),
+        "--vae-path", stage1_dir, "--data-parallel", "false",
+        "--shuffle", "true",
+    ]
+
+
+def test_sigkill_mid_training_leaves_resumable_state(
+        shared_data_dir, shared_stage1_dir, tmp_path_factory):
+    # every run in this test is a REAL subprocess with the same env: floats
+    # must be compared across process boundaries, and mixing in-process and
+    # subprocess runs compares two different codegens (the persistent compile
+    # cache can hold AOT code from a different host generation, ~1e-5 drift)
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_pytest_cache"
+
+    def run_cli(save_dir, *extra):
+        subprocess.run(
+            [sys.executable, osp.join(REPO, "train.py"),
+             *_argv(shared_data_dir, shared_stage1_dir, save_dir),
+             "--device", "cpu", *extra],
+            cwd=REPO, env=env, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    # uninterrupted reference trajectory
+    ref_dir = str(tmp_path_factory.mktemp("kill_ref"))
+    run_cli(ref_dir)
+    ref_run = osp.join(ref_dir, os.listdir(ref_dir)[0])
+    ref_log = json.load(open(osp.join(ref_run, "log.json")))
+    assert ref_log["epoch"] == list(range(EPOCHS))
+
+    # killed run: SIGKILL as soon as the first train_state lands (so it dies
+    # somewhere inside epoch 1+ with writes in flight)
+    save_dir = str(tmp_path_factory.mktemp("kill_runs"))
+    proc = subprocess.Popen(
+        [sys.executable, osp.join(REPO, "train.py"),
+         *_argv(shared_data_dir, shared_stage1_dir, save_dir),
+         "--device", "cpu"],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 900
+    state_path = None
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            runs = os.listdir(save_dir)
+            if runs:
+                p = osp.join(save_dir, runs[0], "train_state.msgpack")
+                if osp.exists(p):
+                    state_path = p
+                    break
+            time.sleep(0.2)
+        assert state_path, "no train_state appeared before the deadline"
+        assert proc.poll() is None, "trainer exited before the kill"
+        proc.send_signal(signal.SIGKILL)  # the process we spawned, by handle
+    finally:
+        if proc.poll() is None and state_path is None:
+            proc.kill()
+        proc.wait()
+
+    run_dir = osp.dirname(state_path)
+
+    # invariant 1: the dir is consistent — log present, never behind the
+    # state's resume point (FIFO order log.json before train_state.msgpack)
+    from diffusion_model_project_tpu.utils.checkpoint import peek_train_state_epoch
+    assert osp.exists(osp.join(run_dir, "log.json"))
+    killed_log = json.load(open(osp.join(run_dir, "log.json")))
+    start_epoch = peek_train_state_epoch(state_path)
+    assert 0 < start_epoch < EPOCHS  # it really died mid-run
+    assert len(killed_log["epoch"]) >= start_epoch
+
+    # the searcher helper agrees the dir is resumable
+    from diffusion_model_project_tpu.training.train_diffusion import (
+        find_resumable_run)
+    found, done = find_resumable_run(osp.join(save_dir, "*"))
+    assert found == run_dir and done == len(killed_log["epoch"])
+
+    # invariant 2: resume completes the run bitwise-identically to the
+    # uninterrupted trajectory
+    run_cli(save_dir, "--resume", run_dir)
+    final_log = json.load(open(osp.join(run_dir, "log.json")))
+    assert final_log["epoch"] == list(range(EPOCHS))
+    np.testing.assert_array_equal(final_log["train_loss"],
+                                  ref_log["train_loss"])
+    np.testing.assert_array_equal(final_log["val_loss"], ref_log["val_loss"])
