@@ -95,29 +95,16 @@ def select_input_output(data: Dict[str, np.ndarray], option: str = "latent-diffu
     return (imgs, velocity_2d), targets
 
 
-_WARNED_UNSHARDED: set = set()
+# alias: tests and callers reset the warn-once set through this name
+from ..parallel.mesh import _WARNED_UNSHARDED, maybe_shard_batch
 
 
 def _batch_dict(data, mesh=None) -> Dict:
     (img, v2d), targets = select_input_output(data)
     batch = {"img": img, "U_2d": v2d, "U": targets}
-    if mesh is not None:
-        # batch shards over the 'data' axis only (a 2-D data x model mesh
-        # replicates batches over 'model'); divisibility is vs data size
-        n = mesh.shape.get("data", mesh.devices.size)
-        if img.shape[0] % n == 0:
-            from ..parallel import shard_batch
-
-            batch = shard_batch(batch, mesh)
-        else:
-            key = (int(img.shape[0]), int(n))
-            if key not in _WARNED_UNSHARDED:
-                _WARNED_UNSHARDED.add(key)
-                print(f"WARNING: batch size {img.shape[0]} is not divisible by "
-                      f"the {n}-device 'data' mesh axis; running this batch "
-                      f"replicated (~{n}x slower step). Pad the dataset or "
-                      f"pick a batch size divisible by the mesh.")
-    return batch
+    # batch shards over the 'data' axis only (a 2-D data x model mesh
+    # replicates batches over 'model'); divisibility is vs data size
+    return maybe_shard_batch(batch, mesh)
 
 
 def run_epoch(

@@ -77,6 +77,14 @@ def parse_args(argv=None):
                              "cross-epoch accumulated-grad buffer, epoch and "
                              "best-loss counters — the reference can only "
                              "restart stage 1 from scratch)")
+    from ..utils.config import str_to_bool
+    parser.add_argument("--data-parallel", type=str_to_bool, default=True,
+                        help="enter a 1-D 'data' mesh over all visible "
+                             "devices: batch sharded over ICI, params/"
+                             "optimizer replicated, gradient psum by XLA — "
+                             "the TPU replacement for the reference's "
+                             "torch.nn.DataParallel VAE training "
+                             "(train_3d_vae_only.py:310-312)")
     return parser.parse_args(argv)
 
 
@@ -311,6 +319,22 @@ def main(argv=None):
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
+    # data-parallel mesh: the reference wraps THIS trainer in
+    # torch.nn.DataParallel when >1 GPU is visible (train_3d_vae_only.py:
+    # 310-312); here the mesh shards batches over ICI and XLA inserts the
+    # gradient psum. Entered after resume so restored arrays re-replicate.
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel import make_mesh, maybe_shard_batch, replicate
+
+        mesh = make_mesh(("data",))
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        g_acc = replicate(g_acc, mesh)
+        print(f"Data-parallel mesh over {jax.device_count()} devices")
+    else:
+        maybe_shard_batch = lambda b, m: b  # noqa: E731
+
     # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
     # discards the partial epoch, drains the writer, exits cleanly
     from ..utils.preempt import GracefulShutdown
@@ -335,8 +359,9 @@ def main(argv=None):
                 if shutdown.requested:
                     preempted = True
                     break
-                batch = {"velocity": batch["velocity"] / np.asarray(nf),
-                         "microstructure": batch["microstructure"]}
+                batch = maybe_shard_batch(
+                    {"velocity": batch["velocity"] / np.asarray(nf),
+                     "microstructure": batch["microstructure"]}, mesh)
                 rng, r = jax.random.split(rng)
                 g_acc, metrics = grad_step(g_acc, params, batch, r, kl_coeff)
                 kl_val = float(metrics["kl"])
@@ -371,8 +396,9 @@ def main(argv=None):
                 if shutdown.requested:
                     preempted = True
                     break
-                batch = {"velocity": batch["velocity"] / np.asarray(nf),
-                         "microstructure": batch["microstructure"]}
+                batch = maybe_shard_batch(
+                    {"velocity": batch["velocity"] / np.asarray(nf),
+                     "microstructure": batch["microstructure"]}, mesh)
                 rng, r = jax.random.split(rng)
                 metrics = eval_step(params, batch, r, kl_coeff)
                 val_recons += float(metrics["recons"])
@@ -423,8 +449,9 @@ def main(argv=None):
     test_recons = 0.0
     k = -1
     for k, batch in enumerate(test_loader):
-        batch = {"velocity": batch["velocity"] / np.asarray(nf),
-                 "microstructure": batch["microstructure"]}
+        batch = maybe_shard_batch(
+            {"velocity": batch["velocity"] / np.asarray(nf),
+             "microstructure": batch["microstructure"]}, mesh)
         rng, r = jax.random.split(rng)
         metrics = eval_step(params, batch, r, args.max_kl_coeff)
         test_recons += float(metrics["recons"])

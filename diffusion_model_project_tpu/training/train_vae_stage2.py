@@ -70,6 +70,12 @@ def parse_args(argv=None):
     parser.add_argument("--norm-mode", type=str, default="max", choices=["max", "mean"])
     parser.add_argument("--grad-accum", type=int, default=5)
     parser.add_argument("--seed", type=int, default=2024)
+    from ..utils.config import str_to_bool
+    parser.add_argument("--data-parallel", type=str_to_bool, default=True,
+                        help="enter a 1-D 'data' mesh over all visible "
+                             "devices (the TPU replacement for the "
+                             "reference's torch.nn.DataParallel stage-2 "
+                             "training, train_2d_with_cross.py:286-291)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from save-dir/train_state.msgpack "
                              "(full state: trainable params, optimizer "
@@ -315,6 +321,24 @@ def main(argv=None):
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
+    # data-parallel mesh: the reference wraps THIS trainer in
+    # torch.nn.DataParallel when >1 GPU is visible (train_2d_with_cross.py:
+    # 286-291); the mesh shards paired batches over ICI, params (incl. the
+    # frozen E3D/D3D) replicate, XLA inserts the gradient psum.
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel import make_mesh, maybe_shard_batch, replicate
+
+        mesh = make_mesh(("data",))
+        trainable = replicate(trainable, mesh)
+        frozen = replicate(frozen, mesh)
+        opt_state = replicate(opt_state, mesh)
+        g_acc = replicate(g_acc, mesh)
+        print(f"Data-parallel mesh over {jax.device_count()} devices")
+
+        _norm = norm_batch
+        norm_batch = lambda b: maybe_shard_batch(_norm(b), mesh)  # noqa: E731
+
     # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
     # discards the partial epoch, drains the writer, exits cleanly
     from ..utils.preempt import GracefulShutdown
@@ -384,6 +408,14 @@ def main(argv=None):
             if current_val_loss < best_val_loss:
                 best_val_loss = current_val_loss
                 save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
+            # FIFO order: weights -> vae_log.json -> train_state.msgpack
+            # (log encoded eagerly — log_dict mutates next epoch). The resume
+            # state can lag the log by one epoch but never lead it, so resume
+            # never loses a recorded epoch (same discipline as the diffusion
+            # trainer; asserted under real SIGKILL in tests/test_crash_kill.py)
+            ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
+                               json.dumps(log_dict, indent=2).encode(),
+                               serialize=bytes)
             ckpt_writer.submit(state_path, {
                 "trainable": trainable,
                 "opt_state": serialization.to_state_dict(opt_state),
@@ -391,12 +423,6 @@ def main(argv=None):
                 "epoch": np.int64(epoch),
                 "best_val_loss": np.float64(best_val_loss),
             })
-            # log queued AFTER the weights on the same FIFO writer (encoded
-            # eagerly — log_dict mutates next epoch): a crash can leave the log
-            # behind the weights but never ahead
-            ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
-                               json.dumps(log_dict, indent=2).encode(),
-                               serialize=bytes)
             print(f"Epoch {epoch + 1}/{args.num_epochs}: "
                   f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
                   f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
