@@ -116,3 +116,60 @@ def test_sigkill_mid_training_leaves_resumable_state(
     np.testing.assert_array_equal(final_log["train_loss"],
                                   ref_log["train_loss"])
     np.testing.assert_array_equal(final_log["val_loss"], ref_log["val_loss"])
+
+
+def test_sigkill_stage1_vae_resumes_bitwise(shared_data_dir, tmp_path_factory):
+    """Same hard-kill contract for the stage-1 VAE trainer: its FIFO order is
+    vae.msgpack -> vae_log.json -> train_state.msgpack, so a killed save-dir
+    is always consistent and --resume replays the remaining epochs exactly."""
+    from flax import serialization
+
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_pytest_cache"
+    base = ["--dataset-dir", shared_data_dir, "--latent-channels", "4",
+            "--batch-size", "2", "--num-epochs", "3", "--grad-accum", "2",
+            "--features", "32", "64", "64", "--device", "cpu"]
+
+    def run_cli(save_dir, *extra):
+        subprocess.run(
+            [sys.executable, osp.join(REPO, "train_3d_vae_only.py"),
+             "--save-dir", save_dir, *base, *extra],
+            cwd=REPO, env=env, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    ref_dir = str(tmp_path_factory.mktemp("s1_kill_ref"))
+    run_cli(ref_dir)
+    ref_log = json.load(open(osp.join(ref_dir, "vae_log.json")))["loss"]
+    assert len(ref_log["recons_train"]) == 3
+
+    save_dir = str(tmp_path_factory.mktemp("s1_killed"))
+    proc = subprocess.Popen(
+        [sys.executable, osp.join(REPO, "train_3d_vae_only.py"),
+         "--save-dir", save_dir, *base],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    state_path = osp.join(save_dir, "train_state.msgpack")
+    deadline = time.time() + 900
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            if osp.exists(state_path):
+                break
+            time.sleep(0.2)
+        assert osp.exists(state_path), "no train_state before the deadline"
+        assert proc.poll() is None, "trainer exited before the kill"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        if proc.poll() is None and not osp.exists(state_path):
+            proc.kill()
+        proc.wait()
+
+    with open(state_path, "rb") as f:
+        start_epoch = int(serialization.msgpack_restore(f.read())["epoch"]) + 1
+    assert 0 < start_epoch < 3
+    killed_log = json.load(open(osp.join(save_dir, "vae_log.json")))["loss"]
+    assert len(killed_log["recons_train"]) >= start_epoch
+
+    run_cli(save_dir, "--resume")
+    final_log = json.load(open(osp.join(save_dir, "vae_log.json")))["loss"]
+    for key in ("recons_train", "recons_val", "kl_train", "kl_val"):
+        np.testing.assert_array_equal(final_log[key], ref_log[key])
