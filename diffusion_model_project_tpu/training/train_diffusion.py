@@ -374,8 +374,14 @@ def train(
             test_loss += float(metrics["val_loss"])
         avg_test_loss = test_loss / max(k + 1, 1)
         log_dict["test_loss"] = avg_test_loss
-        with open(log_path, "w") as f:
+        # atomic like every other checkpoint write: a kill mid-rewrite must
+        # not corrupt the log of an otherwise-complete run (the crash-safe
+        # searchers would silently retrain it)
+        import os as _os
+        tmp_path = log_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(log_dict, f, indent=4)
+        _os.replace(tmp_path, log_path)
         print(f"\nTest Loss: {avg_test_loss}")
 
     return avg_train_loss, avg_val_loss
@@ -385,22 +391,26 @@ class TrialPruned(Exception):
     pass
 
 
-def find_resumable_run(pattern: str):
-    """Newest run dir matching glob ``pattern`` that can resume full-state.
+def find_resumable_run(pattern: str, require_state: bool = True):
+    """Newest run dir matching glob ``pattern`` with a readable log.json.
 
-    A dir qualifies only with BOTH train_state.msgpack and log.json — the
-    async writer's FIFO order (log before state, train() epoch loop)
+    With ``require_state`` (default) the dir must ALSO hold
+    train_state.msgpack — the async writer's FIFO order (log before state)
     guarantees any dir holding a state also holds a log at least as new, so
     a state-only dir is a corrupt/foreign artifact that must not wedge the
     crash-safe searchers (CV / optimize / grid search) in a retry loop.
+    ``require_state=False`` is the COMPLETENESS check: a finished run from
+    before full-state checkpointing existed (or whose large state file was
+    deleted after completion) still counts as done via its log alone.
 
     Returns ``(run_dir, completed_epochs)`` or ``(None, 0)``.
     """
     import glob as _glob
 
     for d in sorted(_glob.glob(pattern), reverse=True):
-        if not (osp.exists(osp.join(d, "train_state.msgpack"))
-                and osp.exists(osp.join(d, "log.json"))):
+        if not osp.exists(osp.join(d, "log.json")):
+            continue
+        if require_state and not osp.exists(osp.join(d, "train_state.msgpack")):
             continue
         try:
             with open(osp.join(d, "log.json")) as f:
@@ -510,11 +520,16 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
             #           RNG stream aligned with the original study
 
         # an interrupted attempt of THIS trial left a run dir: resume it
-        # full-state instead of retraining (the dirname encodes b-/lr- which
-        # identify the trial; make_log_folder, reference config.py:469-512)
+        # full-state instead of retraining. The match key spans every drawn
+        # search dimension — levels (f-N), kernel, batch, lr — so a colliding
+        # earlier trial (same '{:.2e}' lr is realistic over a long study)
+        # can't be resumed into the wrong architecture (make_log_folder
+        # dirname encoding, reference config.py:469-512)
         args.resume, _ = find_resumable_run(
             osp.join(args.save_dir,
-                     f"*b-{args.batch_size}-lr-{args.learning_rate:.2e}-*"))
+                     f"*-f-{len(args.features)}-k-{args.kernel_size}-"
+                     f"*-b-{args.batch_size}-"
+                     f"lr-{args.learning_rate:.2e}-*"))
         if args.resume:
             print(f"Trial {trial_idx} resuming from {args.resume}")
 

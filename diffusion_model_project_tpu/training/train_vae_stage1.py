@@ -323,17 +323,17 @@ def main(argv=None):
     # torch.nn.DataParallel when >1 GPU is visible (train_3d_vae_only.py:
     # 310-312); here the mesh shards batches over ICI and XLA inserts the
     # gradient psum. Entered after resume so restored arrays re-replicate.
+    from ..parallel import maybe_shard_batch  # no-op when mesh is None
+
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
-        from ..parallel import make_mesh, maybe_shard_batch, replicate
+        from ..parallel import make_mesh, replicate
 
         mesh = make_mesh(("data",))
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
         g_acc = replicate(g_acc, mesh)
         print(f"Data-parallel mesh over {jax.device_count()} devices")
-    else:
-        maybe_shard_batch = lambda b, m: b  # noqa: E731
 
     # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
     # discards the partial epoch, drains the writer, exits cleanly

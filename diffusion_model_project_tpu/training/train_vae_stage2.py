@@ -325,9 +325,11 @@ def main(argv=None):
     # torch.nn.DataParallel when >1 GPU is visible (train_2d_with_cross.py:
     # 286-291); the mesh shards paired batches over ICI, params (incl. the
     # frozen E3D/D3D) replicate, XLA inserts the gradient psum.
+    from ..parallel import maybe_shard_batch  # no-op when mesh is None
+
     mesh = None
     if args.data_parallel and jax.device_count() > 1:
-        from ..parallel import make_mesh, maybe_shard_batch, replicate
+        from ..parallel import make_mesh, replicate
 
         mesh = make_mesh(("data",))
         trainable = replicate(trainable, mesh)
@@ -336,8 +338,8 @@ def main(argv=None):
         g_acc = replicate(g_acc, mesh)
         print(f"Data-parallel mesh over {jax.device_count()} devices")
 
-        _norm = norm_batch
-        norm_batch = lambda b: maybe_shard_batch(_norm(b), mesh)  # noqa: E731
+    _norm_unsharded = norm_batch
+    norm_batch = lambda b: maybe_shard_batch(_norm_unsharded(b), mesh)  # noqa: E731
 
     # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
     # discards the partial epoch, drains the writer, exits cleanly

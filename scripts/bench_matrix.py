@@ -46,10 +46,12 @@ def main(out_path=None):
         line = None
         for out_line in reversed(proc.stdout.strip().splitlines()):
             try:
-                line = json.loads(out_line)
-                break
+                parsed = json.loads(out_line)
             except ValueError:
                 continue
+            if isinstance(parsed, dict):  # bare scalars parse too — skip them
+                line = parsed
+                break
         entry = {"config": name, "env": overrides, "wall_s": wall,
                  "rc": proc.returncode, **(line or {})}
         if proc.returncode != 0 or line is None:

@@ -122,7 +122,7 @@ def test_sigkill_stage1_vae_resumes_bitwise(shared_data_dir, tmp_path_factory):
     """Same hard-kill contract for the stage-1 VAE trainer: its FIFO order is
     vae.msgpack -> vae_log.json -> train_state.msgpack, so a killed save-dir
     is always consistent and --resume replays the remaining epochs exactly."""
-    from flax import serialization
+    from diffusion_model_project_tpu.utils.checkpoint import peek_train_state_epoch
 
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_pytest_cache"
@@ -163,8 +163,7 @@ def test_sigkill_stage1_vae_resumes_bitwise(shared_data_dir, tmp_path_factory):
             proc.kill()
         proc.wait()
 
-    with open(state_path, "rb") as f:
-        start_epoch = int(serialization.msgpack_restore(f.read())["epoch"]) + 1
+    start_epoch = peek_train_state_epoch(state_path)
     assert 0 < start_epoch < 3
     killed_log = json.load(open(osp.join(save_dir, "vae_log.json")))["loss"]
     assert len(killed_log["recons_train"]) >= start_epoch

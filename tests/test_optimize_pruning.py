@@ -131,6 +131,7 @@ def test_optimize_study_resumes_crash_safe(tmp_path, monkeypatch):
     with open(tmp_path / "study.json", "w") as f:
         json.dump(saved, f)
     run = tmp_path / (f"20260818_x_latent-diffusion_in-17-out-8-"
+                      f"f-{p['levels']}-k-{p['kernel_size']}-p-zeros-"
                       f"b-{p['batch_size']}-lr-{p['learning_rate']:.2e}-ep-3")
     os.makedirs(run)
     (run / "train_state.msgpack").write_bytes(b"")

@@ -413,22 +413,29 @@ def test_vae_stage1_data_parallel_matches_single_device(
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_vae_stage2_data_parallel_smoke(
+def test_vae_stage2_data_parallel_matches_single_device(
         shared_data_dir, shared_stage1_dir, tmp_path_factory, capsys):
     """Stage-2 under the data mesh (paired batches sharded, frozen E3D/D3D
-    replicated, checksums intact): finite losses through the real CLI."""
+    replicated, checksums intact) reproduces the single-device trajectory —
+    a missing psum on any of the three loss terms would show up here."""
     import json
     import os.path as osp
     from diffusion_model_project_tpu.training.train_vae_stage2 import main
 
     assert jax.device_count() >= 8
-    out = str(tmp_path_factory.mktemp("s2_mesh"))
-    main(["--dataset-dir", shared_data_dir,
-          "--stage1-checkpoint", shared_stage1_dir,
-          "--save-dir", out, "--latent-channels", "4",
-          "--batch-size", "8", "--num-epochs", "1", "--grad-accum", "2",
-          "--data-parallel", "true"])
+    base = ["--dataset-dir", shared_data_dir,
+            "--stage1-checkpoint", shared_stage1_dir,
+            "--latent-channels", "4",
+            "--batch-size", "8", "--num-epochs", "1", "--grad-accum", "2"]
+    out_a = str(tmp_path_factory.mktemp("s2_single"))
+    main(base + ["--save-dir", out_a, "--data-parallel", "false"])
+    out_b = str(tmp_path_factory.mktemp("s2_mesh"))
+    main(base + ["--save-dir", out_b, "--data-parallel", "true"])
     assert "Data-parallel mesh over 8 devices" in capsys.readouterr().out
-    log = json.load(open(osp.join(out, "vae_log.json")))["loss"]
-    for key, series in log.items():
+
+    log_a = json.load(open(osp.join(out_a, "vae_log.json")))["loss"]
+    log_b = json.load(open(osp.join(out_b, "vae_log.json")))["loss"]
+    for key, series in log_b.items():
         assert np.isfinite(series).all(), key
+        np.testing.assert_allclose(series, log_a[key], rtol=1e-4, atol=1e-6,
+                                   err_msg=key)

@@ -79,13 +79,17 @@ def main(argv=None):
                 # with a changed config never skips into — or restores
                 # mismatched weights from — another config's folds.
                 descr = run_descr(process_args(args), with_epochs=False)
-                run_dir, done = find_resumable_run(
-                    osp.join(args.save_dir, f"*_{name}_*{descr}*"))
+                pattern = osp.join(args.save_dir, f"*_{name}_*{descr}*")
                 args.resume = None
-                if run_dir and done >= args.num_epochs:
+                # completeness by log alone (a finished run may predate — or
+                # have deleted — its train_state.msgpack)
+                done_dir, done = find_resumable_run(pattern,
+                                                    require_state=False)
+                if done_dir and done >= args.num_epochs:
                     print(f"Fold {i + 1}/{args.k_folds} already complete "
-                          f"({done} epochs) in {run_dir}; skipping")
+                          f"({done} epochs) in {done_dir}; skipping")
                     continue
+                run_dir, _ = find_resumable_run(pattern)  # state required
                 if run_dir:
                     print(f"Fold {i + 1}/{args.k_folds} resuming "
                           f"from {run_dir}")
