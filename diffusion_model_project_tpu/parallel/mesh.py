@@ -66,9 +66,11 @@ def maybe_shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
     otherwise run the batch replicated and SAY SO once per (batch, mesh)
     size — a silently-unsharded remainder batch is a quiet ~N x step-time
     cliff on a real mesh (VERDICT r1 weak #4)."""
-    if mesh is None:
+    if mesh is None or axis not in mesh.shape:
+        # a mesh without the requested axis has nothing to shard over;
+        # sharding against it would raise inside device_put
         return batch
-    n = mesh.shape.get(axis, mesh.devices.size)
+    n = mesh.shape[axis]
     b = next(iter(batch.values())).shape[0]
     if b % n == 0:
         return shard_batch(batch, mesh, axis)

@@ -95,8 +95,7 @@ def select_input_output(data: Dict[str, np.ndarray], option: str = "latent-diffu
     return (imgs, velocity_2d), targets
 
 
-# alias: tests and callers reset the warn-once set through this name
-from ..parallel.mesh import _WARNED_UNSHARDED, maybe_shard_batch
+from ..parallel.mesh import maybe_shard_batch
 
 
 def _batch_dict(data, mesh=None) -> Dict:

@@ -146,7 +146,6 @@ def train(
     ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
     optimizer = make_optimizer(learning_rate, td["weight_decay"],
                                ema_decay=ema_decay)
-    opt_state = optimizer.init(predictor.unet_params)
     if ema_decay > 0:
         print(f"Tracking EMA weights (decay {ema_decay}) -> ema_model.msgpack")
 
@@ -182,14 +181,11 @@ def train(
             mesh = make_mesh(("data",))
             predictor = replicate(predictor, mesh)
             print(f"Data-parallel mesh over {n} devices")
-        if model_parallel > 1 or fsdp:
-            # Adam moments follow the param shardings (elementwise init);
-            # never materialize replicated moments first — for FSDP that
-            # transient full-size copy is exactly the memory the flag exists
-            # to avoid
-            opt_state = optimizer.init(predictor.unet_params)
-        else:
-            opt_state = replicate(opt_state, mesh)
+    # moments initialize AFTER the params landed in their final (sharded or
+    # replicated) layout — the elementwise init inherits it, and the full
+    # unsharded moments (+EMA copy) never exist anywhere, which is the whole
+    # point of --fsdp on models that don't fit one chip
+    opt_state = optimizer.init(predictor.unet_params)
 
     rng = jax.random.key(seed + 1)
     step_cache: dict = {}
@@ -495,9 +491,21 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
             print(f"Resuming study: {len(results)} trials already recorded "
                   f"in {study_path}")
     pruner = MedianPruner(n_startup_trials=n_startup_trials)
+    legacy = 0
     for r in results:
         if r["state"] == "COMPLETE":
-            pruner.seed_completed(r.get("intermediates", {}))
+            inter = r.get("intermediates", {})
+            if inter:
+                pruner.seed_completed(inter)
+            else:
+                # a pre-intermediates study.json: an empty curve would count
+                # toward n_startup_trials while contributing nothing to the
+                # medians, silently disabling pruning — leave the startup
+                # gate honest and say so instead
+                legacy += 1
+    if legacy:
+        print(f"{legacy} recorded trials predate intermediate-value "
+              f"persistence; pruning medians rebuild from new trials only")
 
     for trial_idx in range(n_trials):
         if should_stop is not None and should_stop():
@@ -520,16 +528,17 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
             #           RNG stream aligned with the original study
 
         # an interrupted attempt of THIS trial left a run dir: resume it
-        # full-state instead of retraining. The match key spans every drawn
-        # search dimension — levels (f-N), kernel, batch, lr — so a colliding
-        # earlier trial (same '{:.2e}' lr is realistic over a long study)
-        # can't be resumed into the wrong architecture (make_log_folder
-        # dirname encoding, reference config.py:469-512)
+        # full-state instead of retraining. The match key is the FULL
+        # hyperparameter blob the dirname encodes (run_descr — the same
+        # encoding make_log_folder writes, minus the extendable epoch
+        # budget), so a colliding earlier trial or a foreign mode=train run
+        # sharing save_dir can't be resumed into the wrong config
+        # (reference config.py:469-512)
+        from ..utils.config import run_descr
+
+        descr = run_descr(process_args(args), with_epochs=False)
         args.resume, _ = find_resumable_run(
-            osp.join(args.save_dir,
-                     f"*-f-{len(args.features)}-k-{args.kernel_size}-"
-                     f"*-b-{args.batch_size}-"
-                     f"lr-{args.learning_rate:.2e}-*"))
+            osp.join(args.save_dir, f"*{descr}*"))
         if args.resume:
             print(f"Trial {trial_idx} resuming from {args.resume}")
 

@@ -383,7 +383,8 @@ def load_train_state(path: str, predictor, opt_state):
 
 def peek_train_state_epoch(path: str) -> int:
     """The epoch a train_state.msgpack resumes FROM (crash diagnostics /
-    consistency checks), without rebuilding predictor or optimizer."""
+    consistency checks). No predictor/optimizer rebuild, but it does decode
+    the whole msgpack file — fine for diagnostics, not a hot-path read."""
     from flax import serialization
 
     with open(path, "rb") as f:

@@ -8,6 +8,23 @@ import pytest
 from diffusion_model_project_tpu.training import train_diffusion as td
 
 
+def _optimize_args(tmp_path, n_trials):
+    """Real-parser args (optimize() runs process_args on them to build the
+    run-dir match key; a SimpleNamespace lacks the full flag surface)."""
+    from diffusion_model_project_tpu.utils.config import parser
+
+    return parser.parse_args([
+        "--root-dir", "unused", "--save-dir", str(tmp_path),
+        "--in-channels", "17", "--out-channels", "8",
+        "--n-trials", str(n_trials),
+        "--range-batch-size", "1", "2",
+        "--range-kernel-size", "3", "5",
+        "--range-level", "2", "3",
+        "--range-learning-rate", "1e-4", "1e-2",
+        "--top-feature-channels", "8",
+    ])
+
+
 def test_median_pruner_prunes_bad_trial():
     pruner = td.MedianPruner(n_startup_trials=1)
     # trial 0 completes with good losses
@@ -60,12 +77,7 @@ def test_optimize_wires_pruning_and_records_state(tmp_path, monkeypatch):
         return last, last
 
     monkeypatch.setattr(td, "train", fake_train)
-    args = types.SimpleNamespace(
-        save_dir=str(tmp_path), n_trials=3,
-        range_batch_size=(1, 2), range_kernel_size=(3, 5), range_level=(2, 3),
-        range_learning_rate=(1e-4, 1e-2), top_bottom=True,
-        top_feature_channels=8, bottom_feature_channels=32,
-    )
+    args = _optimize_args(tmp_path, 3)
     results = td.optimize(args, lambda a: [(None, None, None)],
                           n_startup_trials=1)
     states = [r["state"] for r in results]
@@ -95,12 +107,7 @@ def test_optimize_study_resumes_crash_safe(tmp_path, monkeypatch):
         return 0.8, 0.8
 
     monkeypatch.setattr(td, "train", fake_train)
-    args = types.SimpleNamespace(
-        save_dir=str(tmp_path), n_trials=2,
-        range_batch_size=(1, 2), range_kernel_size=(3, 5), range_level=(2, 3),
-        range_learning_rate=(1e-4, 1e-2), top_bottom=True,
-        top_feature_channels=8, bottom_feature_channels=32,
-    )
+    args = _optimize_args(tmp_path, 2)
     loaders = lambda a: [(None, None, None)]
     first = td.optimize(args, loaders, n_startup_trials=1)
     assert len(seen) == 2 and len(first) == 2
@@ -130,9 +137,15 @@ def test_optimize_study_resumes_crash_safe(tmp_path, monkeypatch):
     del saved[2]
     with open(tmp_path / "study.json", "w") as f:
         json.dump(saved, f)
-    run = tmp_path / (f"20260818_x_latent-diffusion_in-17-out-8-"
-                      f"f-{p['levels']}-k-{p['kernel_size']}-p-zeros-"
-                      f"b-{p['batch_size']}-lr-{p['learning_rate']:.2e}-ep-3")
+    # the dir name a real crashed run would have left: the same run_descr
+    # encoding make_log_folder writes, with trial 2's drawn params
+    from diffusion_model_project_tpu.utils.config import process_args, run_descr
+    args.batch_size = p["batch_size"]
+    args.kernel_size = p["kernel_size"]
+    args.features = [8 * 2 ** v for v in range(p["levels"])]
+    args.learning_rate = p["learning_rate"]
+    descr = run_descr(process_args(args), with_epochs=False)
+    run = tmp_path / f"20260818_x_latent-diffusion_{descr}-ep-3"
     os.makedirs(run)
     (run / "train_state.msgpack").write_bytes(b"")
     with open(run / "log.json", "w") as f:

@@ -155,7 +155,8 @@ def test_batch_dict_warns_on_non_divisible_mesh_batch(capsys):
     (a silent ~8x step-time cliff otherwise; VERDICT r1 weak #4)."""
     from diffusion_model_project_tpu.training import helper
 
-    helper._WARNED_UNSHARDED.clear()
+    from diffusion_model_project_tpu.parallel import mesh as mesh_mod
+    mesh_mod._WARNED_UNSHARDED.clear()
     mesh = make_mesh(("data",))
     b3 = make_batch(3)
     data = {"microstructure": b3["img"], "velocity_input": b3["U_2d"],

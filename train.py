@@ -82,13 +82,22 @@ def main(argv=None):
                 pattern = osp.join(args.save_dir, f"*_{name}_*{descr}*")
                 args.resume = None
                 # completeness by log alone (a finished run may predate — or
-                # have deleted — its train_state.msgpack)
+                # have deleted — its train_state.msgpack). A fold is only
+                # complete once its TEST loss landed too: a kill between the
+                # last epoch's checkpoints and the test evaluation leaves all
+                # epochs logged but no test_loss, and skipping then would
+                # lose the metric CV exists to produce — resume instead
+                # (zero epochs retrain; the test eval re-runs and lands).
+                import json as _json
                 done_dir, done = find_resumable_run(pattern,
                                                     require_state=False)
                 if done_dir and done >= args.num_epochs:
-                    print(f"Fold {i + 1}/{args.k_folds} already complete "
-                          f"({done} epochs) in {done_dir}; skipping")
-                    continue
+                    with open(osp.join(done_dir, "log.json")) as f:
+                        has_test = "test_loss" in _json.load(f)
+                    if has_test:
+                        print(f"Fold {i + 1}/{args.k_folds} already complete "
+                              f"({done} epochs) in {done_dir}; skipping")
+                        continue
                 run_dir, _ = find_resumable_run(pattern)  # state required
                 if run_dir:
                     print(f"Fold {i + 1}/{args.k_folds} resuming "
