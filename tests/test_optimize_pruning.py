@@ -1,7 +1,6 @@
 """Median-rule pruning in the 'optimize' mode (reference train.py:230-235,
 385-390: trial.report/should_prune with optuna's default MedianPruner)."""
 import json
-import types
 
 import pytest
 
