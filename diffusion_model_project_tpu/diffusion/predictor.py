@@ -254,6 +254,16 @@ class LatentDiffusionPredictor:
             {"params": self.vae_params}, v2d_norm.astype(self._cdtype),
             method="encode_2d_deterministic"
         )                                                     # (B,S,lh,lw,C)
+        if z_cond.shape[1] != ld:
+            # the reference probes the VAE's real latent depth instead of
+            # trusting config (predictor.py:652-662); here the static factor
+            # must agree with what the encoder actually produced, else the
+            # reshape below would fail as an opaque error deep inside jit
+            raise ValueError(
+                f"vae_depth_factor={self.vae_depth_factor} implies latent "
+                f"depth {ld}, but encode_2d produced depth "
+                f"{z_cond.shape[1]}; the factor must match the VAE's depth "
+                f"compression (the shipped Encoder preserves depth -> 1)")
         z_cond = z_cond.astype(jnp.float32).reshape(b * ld, lh, lw, self.latent_channels)
 
         # --- microstructure features ---
@@ -307,8 +317,15 @@ class LatentDiffusionPredictor:
         x_start: target latents (B, S, latent, lh, lw) from encode_target.
         ``noise`` follows the same channels-first contract as x_start.
         Each latent slice draws an independent timestep (predictor.py:736).
+
         Returns (noise_pred, noise, t, x_t) with noise_pred/noise as
-        (B*S, lh, lw, latent) channels-last.
+        (B*S, lh, lw, latent) CHANNELS-LAST — a deliberate exception to the
+        channels-first-at-public-boundaries rule: these tensors exist only to
+        be subtracted inside the loss, and round-tripping them through the
+        reference layout would put two transposes in the training hot path
+        for nothing. Callers comparing against reference tensors transpose
+        once at the comparison site (training/steps.py::_cl_to_cf,
+        tests/test_predictor_parity.py).
         """
         b = img.shape[0]
         z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
@@ -338,9 +355,28 @@ class LatentDiffusionPredictor:
         (B*ld, C, lh, lw) or (B, ld, C, lh, lw). Internally channels-last."""
         if noise is not None:
             n, lh, lw, c = shape
-            return _cf_to_cl(noise.reshape(n, c, lh, lw))
-        assert rng is not None, "predict() needs rng when noise not given"
+            # f32 regardless of the caller's dtype: the samplers' lax.scan
+            # carries must match the f32 step outputs (scheduler tables and
+            # _unet_eps are f32)
+            return _cf_to_cl(noise.reshape(n, c, lh, lw)).astype(jnp.float32)
+        if rng is None:
+            raise ValueError("predict() needs rng when noise is not given")
         return jax.random.normal(rng, shape, jnp.float32)
+
+    def _setup_sampling(self, img, velocity_2d, noise, rng):
+        """Shared sampler preamble: conditioning, initial latents, sharding.
+
+        One implementation for all three samplers (DDPM/DDIM/DPM) so a change
+        to conditioning prep or latent sharding cannot silently diverge them.
+        """
+        b, s = img.shape[0], velocity_2d.shape[1]
+        lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
+        ld = s // self.vae_depth_factor
+        z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
+        shape = (b * ld, lh, lw, self.latent_channels)
+        x = self._init_latent_noise(shape, noise, rng)
+        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
+        return x, z_cond, m_cond, b, ld, lh, lw
 
     def _decode_and_finish(self, x, img, b, ld, lh, lw):
         """Latents (B*ld, lh, lw, C) -> masked velocity (B, S, 3, H, W)."""
@@ -373,12 +409,15 @@ class LatentDiffusionPredictor:
         ``torch.randn_like`` draw order inside p_sample (diffusion.py:175).
         Enables exact numerical comparison of the full ancestral loop.
         """
-        b, s = img.shape[0], velocity_2d.shape[1]
-        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
-        z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
-        shape = (b * ld, lh, lw, self.latent_channels)
-        x = self._init_latent_noise(shape, noise, rng)
-        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
+        if rng is None and step_noise is None and self.num_timesteps > 1:
+            # ancestral sampling draws fresh noise EVERY step; silently
+            # falling back to a fixed key would make every call's noise
+            # identical (correlated "ensembles" with no warning)
+            raise ValueError(
+                "predict() needs rng (or a deterministic step_noise table) "
+                "for the per-step ancestral noise")
+        x, z_cond, m_cond, b, ld, lh, lw = self._setup_sampling(
+            img, velocity_2d, noise, rng)
         step_rng = rng if rng is not None else jax.random.key(0)
 
         if self.num_timesteps == 1:
@@ -427,12 +466,11 @@ class LatentDiffusionPredictor:
     ) -> jnp.ndarray:
         """N-step DDIM sampling fused into one lax.scan
         (reference predict_ddim(): predictor.py:898-1023)."""
-        b, s = img.shape[0], velocity_2d.shape[1]
-        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
-        z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
-        shape = (b * ld, lh, lw, self.latent_channels)
-        x = self._init_latent_noise(shape, noise, rng)
-        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
+        if eta > 0 and rng is None:
+            raise ValueError(
+                "predict_ddim(eta>0) draws stochastic step noise; pass rng=")
+        x, z_cond, m_cond, b, ld, lh, lw = self._setup_sampling(
+            img, velocity_2d, noise, rng)
         step_rng = rng if rng is not None else jax.random.key(0)
 
         ts = ddim_timesteps(self.num_timesteps, num_steps)
@@ -472,12 +510,8 @@ class LatentDiffusionPredictor:
         mathematically DDIM(eta=0) when the +/-30 x0 clip is inactive.
         Coefficients precomputed on host (see scheduler.dpm_solver_coefficients).
         """
-        b, s = img.shape[0], velocity_2d.shape[1]
-        lh, lw, ld = img.shape[-2] // 4, img.shape[-1] // 4, s // self.vae_depth_factor
-        z_cond, m_cond = self.prepare_conditioning(img, velocity_2d)
-        shape = (b * ld, lh, lw, self.latent_channels)
-        x = self._init_latent_noise(shape, noise, rng)
-        x, z_cond, m_cond = self._shard_latents(x, z_cond, m_cond)
+        x, z_cond, m_cond, b, ld, lh, lw = self._setup_sampling(
+            img, velocity_2d, noise, rng)
 
         # dedupe truncation-repeated nodes (num_steps > T): DDIM treats a
         # repeated node as an identity step, but a zero-width DPM step would

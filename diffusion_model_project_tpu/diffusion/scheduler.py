@@ -214,8 +214,11 @@ def dpm_solver_coefficients(alphas_cumprod, ts: np.ndarray, order: int = 2) -> d
     keeps the h=inf boundary step finite).
     """
     ts = np.asarray(ts, np.int64)
-    assert len(ts) == 1 or np.all(np.diff(ts) < 0), \
-        f"DPM timesteps must be strictly decreasing, got {ts}"
+    if len(ts) > 1 and not np.all(np.diff(ts) < 0):
+        # ValueError, not assert: under python -O a non-decreasing ts would
+        # silently produce h<=0 -> NaN coefficients and garbage latents
+        raise ValueError(
+            f"DPM timesteps must be strictly decreasing, got {ts}")
     abar = jnp.asarray(alphas_cumprod, jnp.float32)[jnp.asarray(ts)]
     alpha = jnp.concatenate([jnp.sqrt(abar), jnp.ones((1,), jnp.float32)])
     sigma = jnp.concatenate([jnp.sqrt(1.0 - abar), jnp.zeros((1,), jnp.float32)])
