@@ -232,6 +232,15 @@ def train(
     best_model_path = osp.join(log_folder, "best_model.msgpack")
     log_path = osp.join(log_folder, "log.json")
 
+    # optional TensorBoard mirror of the log.json scalars (utils/tb.py);
+    # purge_step on resume drops a crashed run's abandoned-epoch events
+    # exactly like the JSON history truncation above
+    from ..utils.tb import TensorBoardLogger
+    tb = TensorBoardLogger(
+        osp.join(log_folder, "tb") if getattr(args, "tensorboard", False)
+        else None,
+        purge_step=start_epoch if resume_dir else None)
+
     # checkpoints stream out on a background thread (atomic tmp+rename);
     # epoch N+1 dispatches while epoch N's weights fetch/serialize/write
     from ..utils.async_ckpt import AsyncCheckpointWriter
@@ -298,6 +307,14 @@ def train(
             else:
                 log_dict["physics_metrics"][key].append(0.0)
 
+        tb.add_scalars(epoch, {
+            "train_loss": avg_train_loss, "val_loss": avg_val_loss,
+            "learning_rate": current_lr, "epoch_time": dtime,
+        })
+        tb.add_scalars(
+            epoch, {k: v[-1] for k, v in log_dict["physics_metrics"].items()},
+            prefix="physics/")
+
         save_predictor(predictor, model_path, writer=ckpt_writer)
         if ema_decay > 0:
             import dataclasses as _dc
@@ -336,6 +353,8 @@ def train(
                     ckpt_writer.close()
                 except RuntimeError:
                     pass
+                finally:
+                    tb.close()
                 raise
 
         if should_stop is not None and should_stop():
@@ -353,6 +372,7 @@ def train(
         else:
             print("Preempted before the first epoch completed; nothing saved.",
                   flush=True)
+        tb.close()
         return avg_train_loss, avg_val_loss
 
     # test evaluation with the best checkpoint
@@ -378,8 +398,10 @@ def train(
         with open(tmp_path, "w") as f:
             json.dump(log_dict, f, indent=4)
         _os.replace(tmp_path, log_path)
+        tb.add_scalars(td["num_epochs"], {"test_loss": avg_test_loss})
         print(f"\nTest Loss: {avg_test_loss}")
 
+    tb.close()
     return avg_train_loss, avg_val_loss
 
 

@@ -85,6 +85,9 @@ def parse_args(argv=None):
                              "the TPU replacement for the reference's "
                              "torch.nn.DataParallel VAE training "
                              "(train_3d_vae_only.py:310-312)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror the vae_log.json loss scalars into "
+                             "TensorBoard events under <save-dir>/tb/")
     return parser.parse_args(argv)
 
 
@@ -319,6 +322,14 @@ def main(argv=None):
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
+    # optional TensorBoard mirror of vae_log.json (utils/tb.py); purge_step
+    # on resume drops abandoned-epoch events like the JSON truncation above
+    from ..utils.tb import TensorBoardLogger
+    tb = TensorBoardLogger(
+        osp.join(args.save_dir, "tb") if getattr(args, "tensorboard", False)
+        else None,
+        purge_step=start_epoch if args.resume else None)
+
     # data-parallel mesh: the reference wraps THIS trainer in
     # torch.nn.DataParallel when >1 GPU is visible (train_3d_vae_only.py:
     # 310-312); here the mesh shards batches over ICI and XLA inserts the
@@ -413,6 +424,9 @@ def main(argv=None):
             log_dict["loss"]["recons_val"].append(avg_recons_val)
             log_dict["loss"]["kl_val"].append(avg_kl_val)
             log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            tb.add_scalars(
+                epoch, {k: v[-1] for k, v in log_dict["loss"].items()},
+                prefix="loss/")
 
             save(args.save_dir, params, log_dict)
             val_loss = avg_recons_val + kl_coeff * avg_kl_val
@@ -434,6 +448,7 @@ def main(argv=None):
                 break
 
     ckpt_writer.close()  # every queued write landed (or raises its failure)
+    tb.close()
 
     if preempted:
         if os.path.exists(state_path):

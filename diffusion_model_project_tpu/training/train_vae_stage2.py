@@ -81,6 +81,9 @@ def parse_args(argv=None):
                              "(full state: trainable params, optimizer "
                              "moments, the cross-epoch accumulated-grad "
                              "buffer, epoch and best-loss counters)")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror the vae_log.json loss scalars into "
+                             "TensorBoard events under <save-dir>/tb/")
     return parser.parse_args(argv)
 
 
@@ -321,6 +324,14 @@ def main(argv=None):
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
+    # optional TensorBoard mirror of vae_log.json (utils/tb.py); purge_step
+    # on resume drops abandoned-epoch events like the JSON truncation above
+    from ..utils.tb import TensorBoardLogger
+    tb = TensorBoardLogger(
+        osp.join(args.save_dir, "tb") if getattr(args, "tensorboard", False)
+        else None,
+        purge_step=start_epoch if args.resume else None)
+
     # data-parallel mesh: the reference wraps THIS trainer in
     # torch.nn.DataParallel when >1 GPU is visible (train_2d_with_cross.py:
     # 286-291); the mesh shards paired batches over ICI, params (incl. the
@@ -395,6 +406,9 @@ def main(argv=None):
                 log_dict["loss"][f"{log_key}_train"].append(running[k] / num_train)
                 log_dict["loss"][f"{log_key}_val"].append(val[k] / num_val)
             log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            tb.add_scalars(
+                epoch, {k: v[-1] for k, v in log_dict["loss"].items()},
+                prefix="loss/")
 
             # frozen-weight checksums (reference train_2d_with_cross.py:602-608)
             if abs(checksum(frozen["encoder_3d"]) - e3d_checksum) > 1e-5:
@@ -434,6 +448,7 @@ def main(argv=None):
                 break
 
     ckpt_writer.close()  # every queued write landed (or raises its failure)
+    tb.close()
 
     if preempted and osp.exists(state_path):
         print(f"Preempted; completed epochs are on disk. Resume with:\n"

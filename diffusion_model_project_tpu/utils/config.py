@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Enter a 1-D 'data' mesh over all visible devices "
                                   "(the TPU-native torch.nn.DataParallel replacement). "
                                   "false = single-device execution.")
+    group_train.add_argument("--tensorboard", type=str_to_bool, default=False,
+                             help="Mirror every scalar appended to log.json into "
+                                  "TensorBoard events under <run_dir>/tb/ "
+                                  "(additive; the JSON contract stays canonical).")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)

@@ -88,9 +88,13 @@ def shared_stage1_dir(shared_data_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("shared_s1"))
     # tiny stage widths (reference-default 128/256/512 would spend minutes of
     # CPU per epoch; width parity is covered by the parity suites)
+    # --tensorboard is strictly additive (vae_log.json stays canonical);
+    # enabling it here covers the stage-1 TB wiring with no extra training
+    # (asserted against vae_log.json in test_tb.py)
     main(["--dataset-dir", shared_data_dir, "--save-dir", out,
           "--latent-channels", "4", "--batch-size", "2", "--num-epochs", "2",
-          "--grad-accum", "2", "--features", "32", "64", "64"])
+          "--grad-accum", "2", "--features", "32", "64", "64",
+          "--tensorboard"])
     return out
 
 
@@ -100,7 +104,7 @@ def shared_stage2_dir(shared_data_dir, shared_stage1_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("shared_s2"))
     main(["--dataset-dir", shared_data_dir, "--stage1-checkpoint", shared_stage1_dir,
           "--save-dir", out, "--latent-channels", "4", "--batch-size", "2",
-          "--num-epochs", "1", "--grad-accum", "2"])
+          "--num-epochs", "1", "--grad-accum", "2", "--tensorboard"])
     return out
 
 
