@@ -153,6 +153,89 @@ def get_3d_only_split(paired_split: Dict, num_microstructures: int) -> Dict:
     }
 
 
+def main(argv: Optional[List[str]] = None) -> int:
+    """CLI for split generation/verification — the reference's
+    ``python shared/data_split.py`` surface (data_split.py:401-512):
+    --generate writes splits.json (auto-detecting N from x/domain.pt),
+    --paired-vae expands to the {i, i+N} paired split, --verify prints an
+    existing file's summary. One deviation: the reference declares --force
+    but its generate path overwrites unconditionally (data_split.py:453-487);
+    here --force is actually required to clobber an existing split file —
+    silently regenerating a split invalidates every run trained on it.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Generate or verify data splits for VAE and diffusion training")
+    parser.add_argument("--dataset-dir", type=str, required=True,
+                        help="Path to dataset directory")
+    parser.add_argument("--generate", action="store_true",
+                        help="Generate new split file")
+    parser.add_argument("--verify", action="store_true",
+                        help="Verify existing split")
+    parser.add_argument("--output", type=str, default=DEFAULT_SPLIT_FILENAME,
+                        help=f"Output filename (default: {DEFAULT_SPLIT_FILENAME})")
+    parser.add_argument("--train-ratio", type=float, default=DEFAULT_TRAIN_RATIO)
+    parser.add_argument("--val-ratio", type=float, default=DEFAULT_VAL_RATIO)
+    parser.add_argument("--test-ratio", type=float, default=DEFAULT_TEST_RATIO)
+    parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    parser.add_argument("--num-samples", type=int, default=None,
+                        help="Number of samples (auto-detected from x/domain.pt "
+                             "if not provided)")
+    parser.add_argument("--paired-vae", action="store_true",
+                        help="Create paired split for VAE (keeps 2D/3D from the "
+                             "same microstructure together)")
+    parser.add_argument("--force", action="store_true",
+                        help="Force recreate even if split exists")
+    args = parser.parse_args(argv)
+
+    if args.generate:
+        if args.num_samples is None:
+            domain_path = os.path.join(args.dataset_dir, "x", "domain.pt")
+            if not os.path.exists(domain_path):
+                raise ValueError("Could not auto-detect num_samples. "
+                                 "Please provide --num-samples")
+            import torch  # .pt IO only
+
+            args.num_samples = torch.load(domain_path, map_location="cpu").shape[0]
+            print(f"Auto-detected {args.num_samples} samples from {domain_path}")
+
+        output_path = os.path.join(args.dataset_dir, args.output)
+        if os.path.exists(output_path) and not args.force:
+            print(f"ERROR: {output_path} exists; pass --force to recreate")
+            return 1
+        if args.paired_vae:
+            split = create_paired_split_for_vae(
+                args.num_samples, args.train_ratio, args.val_ratio,
+                args.test_ratio, args.seed)
+        else:
+            split = create_split(
+                args.num_samples, args.train_ratio, args.val_ratio,
+                args.test_ratio, args.seed)
+        save_split(split, output_path)
+        print(f"\nSplit summary:")
+        print(f"  Train: {len(split['train'])} samples")
+        print(f"  Val: {len(split['val'])} samples")
+        print(f"  Test: {len(split['test'])} samples")
+        return 0
+
+    if args.verify:
+        split_path = os.path.join(args.dataset_dir, args.output)
+        if not os.path.exists(split_path):
+            print(f"ERROR: Split file not found: {split_path}")
+            return 1
+        split = load_split(split_path)
+        print(f"Split file: {split_path}")
+        print(f"  Train: {len(split['train'])} samples")
+        print(f"  Val: {len(split['val'])} samples")
+        print(f"  Test: {len(split['test'])} samples")
+        print(f"  Metadata: {split.get('metadata', {})}")
+        return 0
+
+    parser.print_help()
+    return 1
+
+
 def verify_split_consistency(vae_split_path: str, diffusion_split_path: str) -> bool:
     """Check the VAE paired split and the diffusion base split agree at the
     microstructure level (same seed/membership)."""
@@ -167,3 +250,7 @@ def verify_split_consistency(vae_split_path: str, diffusion_split_path: str) -> 
         if vae_base != sorted(diff[k]):
             ok = False
     return ok
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -360,3 +360,48 @@ def test_dataset_with_cache_matches_uncached(synthetic_root, monkeypatch):
         a, b = ds_cached[idx], ds_plain[idx]
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_split_cli(tmp_path, capsys):
+    """The reference's `python shared/data_split.py` CLI surface
+    (data_split.py:401-512): --generate with x/domain.pt auto-detect,
+    --paired-vae, --verify, and the --force guard."""
+    from diffusion_model_project_tpu.data import split as split_mod
+
+    x = tmp_path / "x"
+    x.mkdir()
+    torch.save(torch.zeros(20, 11, 256, 256), x / "domain.pt")
+
+    # generate with auto-detected N
+    assert split_mod.main(["--dataset-dir", str(tmp_path), "--generate"]) == 0
+    out = capsys.readouterr().out
+    assert "Auto-detected 20 samples" in out
+    written = json.loads((tmp_path / "splits.json").read_text())
+    assert written["train"] == create_split(20)["train"]  # same membership
+
+    # existing file is guarded; --force clobbers with the paired expansion
+    assert split_mod.main(["--dataset-dir", str(tmp_path), "--generate"]) == 1
+    assert split_mod.main(["--dataset-dir", str(tmp_path), "--generate",
+                           "--force", "--paired-vae"]) == 0
+    paired = json.loads((tmp_path / "splits.json").read_text())
+    assert paired["metadata"]["type"] == "paired_vae"
+    assert sorted(paired["train"]) == sorted(
+        create_paired_split_for_vae(20)["train"])
+
+    # verify mode prints the summary; missing file errors
+    capsys.readouterr()
+    assert split_mod.main(["--dataset-dir", str(tmp_path), "--verify"]) == 0
+    assert "paired_vae" in capsys.readouterr().out
+    assert split_mod.main(["--dataset-dir", str(tmp_path), "--verify",
+                           "--output", "nope.json"]) == 1
+
+    # neither --generate nor --verify -> help + nonzero
+    assert split_mod.main(["--dataset-dir", str(tmp_path)]) == 1
+
+    # explicit --num-samples bypasses auto-detect
+    other = tmp_path / "no_data"
+    other.mkdir()
+    assert split_mod.main(["--dataset-dir", str(other), "--generate",
+                           "--num-samples", "12", "--seed", "7"]) == 0
+    s = json.loads((other / "splits.json").read_text())
+    assert s["metadata"]["num_samples"] == 12 and s["metadata"]["seed"] == 7
