@@ -106,6 +106,12 @@ def get_or_create_split(
             split = {k: [old_to_new[i] for i in split[k] if i in old_to_new]
                      for k in ("train", "val", "test")} | {"metadata": meta}
         elif stored_num != num_samples:
+            # reference semantics (data_split.py:186-199): a size mismatch
+            # regenerates — but loudly, because the old membership is gone
+            # and every run trained on it loses its exact split
+            print(f"WARNING: {split_path} was built for {stored_num} samples "
+                  f"but the dataset now has {num_samples}; regenerating "
+                  f"(previous split membership is overwritten)")
             split = create_split(num_samples, train_ratio, val_ratio, test_ratio, seed)
             save_split(split, split_path)
         return split
@@ -190,6 +196,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = parser.parse_args(argv)
 
     if args.generate:
+        output_path = os.path.join(args.dataset_dir, args.output)
+        if os.path.exists(output_path) and not args.force:
+            # refuse BEFORE the (potentially multi-GB) auto-detect load
+            print(f"ERROR: {output_path} exists; pass --force to recreate")
+            return 1
         if args.num_samples is None:
             domain_path = os.path.join(args.dataset_dir, "x", "domain.pt")
             if not os.path.exists(domain_path):
@@ -197,13 +208,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  "Please provide --num-samples")
             import torch  # .pt IO only
 
-            args.num_samples = torch.load(domain_path, map_location="cpu").shape[0]
+            try:  # mmap: only the header is read for .shape[0]
+                domain = torch.load(domain_path, map_location="cpu", mmap=True)
+            except (RuntimeError, TypeError):  # legacy non-zipfile .pt
+                domain = torch.load(domain_path, map_location="cpu")
+            args.num_samples = domain.shape[0]
             print(f"Auto-detected {args.num_samples} samples from {domain_path}")
-
-        output_path = os.path.join(args.dataset_dir, args.output)
-        if os.path.exists(output_path) and not args.force:
-            print(f"ERROR: {output_path} exists; pass --force to recreate")
-            return 1
         if args.paired_vae:
             split = create_paired_split_for_vae(
                 args.num_samples, args.train_ratio, args.val_ratio,

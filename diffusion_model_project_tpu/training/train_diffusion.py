@@ -362,7 +362,13 @@ def train(
             preempted = True
             break
 
-    ckpt_writer.close()  # every queued write landed (or raises its failure)
+    try:
+        ckpt_writer.close()  # every queued write landed (or raises its failure)
+    except BaseException:
+        # in-process searchers call train() many times; the event file must
+        # not leak its writer thread when a queued checkpoint write failed
+        tb.close()
+        raise
 
     if preempted:
         state_path = osp.join(log_folder, "train_state.msgpack")

@@ -85,9 +85,12 @@ def parse_args(argv=None):
                              "the TPU replacement for the reference's "
                              "torch.nn.DataParallel VAE training "
                              "(train_3d_vae_only.py:310-312)")
-    parser.add_argument("--tensorboard", action="store_true",
+    parser.add_argument("--tensorboard", type=str_to_bool, nargs="?",
+                        const=True, default=False,
                         help="mirror the vae_log.json loss scalars into "
-                             "TensorBoard events under <save-dir>/tb/")
+                             "TensorBoard events under <save-dir>/tb/ "
+                             "(bare flag or an explicit true/false, matching "
+                             "the diffusion trainer's boolean-flag style)")
     return parser.parse_args(argv)
 
 
@@ -447,8 +450,10 @@ def main(argv=None):
                 preempted = True  # arrived during checkpointing: epoch IS saved
                 break
 
-    ckpt_writer.close()  # every queued write landed (or raises its failure)
-    tb.close()
+    try:
+        ckpt_writer.close()  # every queued write landed (or raises its failure)
+    finally:
+        tb.close()
 
     if preempted:
         if os.path.exists(state_path):

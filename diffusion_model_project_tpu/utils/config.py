@@ -137,10 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Enter a 1-D 'data' mesh over all visible devices "
                                   "(the TPU-native torch.nn.DataParallel replacement). "
                                   "false = single-device execution.")
-    group_train.add_argument("--tensorboard", type=str_to_bool, default=False,
+    group_train.add_argument("--tensorboard", type=str_to_bool, nargs="?",
+                             const=True, default=False,
                              help="Mirror every scalar appended to log.json into "
                                   "TensorBoard events under <run_dir>/tb/ "
-                                  "(additive; the JSON contract stays canonical).")
+                                  "(additive; the JSON contract stays canonical; "
+                                  "bare flag or an explicit true/false).")
 
     group_optim.add_argument("--n-trials", type=int, default=100)
     group_optim.add_argument("--range-batch-size", type=int, default=[10, 40], nargs=2)

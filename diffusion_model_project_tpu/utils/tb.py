@@ -17,6 +17,7 @@ Design constraints:
 """
 from __future__ import annotations
 
+import math
 import warnings
 
 
@@ -57,7 +58,7 @@ class TensorBoardLogger:
                 value = float(value)
             except (TypeError, ValueError):
                 continue
-            if value != value:  # NaN guard; TB renders NaNs as gaps anyway
+            if not math.isfinite(value):  # NaN/inf would wreck the chart axis
                 continue
             self._writer.add_scalar(f"{prefix}{key}", value, global_step=step)
 

@@ -370,7 +370,8 @@ def test_split_cli(tmp_path, capsys):
 
     x = tmp_path / "x"
     x.mkdir()
-    torch.save(torch.zeros(20, 11, 256, 256), x / "domain.pt")
+    # only shape[0] is read by the auto-detect (mmap'd); keep the payload tiny
+    torch.save(torch.zeros(20, 1, 1, 1), x / "domain.pt")
 
     # generate with auto-detected N
     assert split_mod.main(["--dataset-dir", str(tmp_path), "--generate"]) == 0

@@ -36,14 +36,15 @@ def test_scalars_round_trip(tmp_path):
     assert tb.enabled
     tb.add_scalars(0, {"train_loss": 1.5, "val_loss": 2.5})
     tb.add_scalars(1, {"train_loss": 1.0, "val_loss": 2.0,
-                       "skipped_nan": math.nan, "skipped_str": "x"})
+                       "skipped_nan": math.nan, "skipped_inf": math.inf,
+                       "skipped_ninf": -math.inf, "skipped_str": "x"})
     tb.close()
 
     scalars = _read_scalars(tmp_path / "tb")
     assert scalars["train_loss"] == [(0, 1.5), (1, 1.0)]
     assert scalars["val_loss"] == [(0, 2.5), (1, 2.0)]
-    assert "skipped_nan" not in scalars
-    assert "skipped_str" not in scalars
+    for skipped in ("skipped_nan", "skipped_inf", "skipped_ninf", "skipped_str"):
+        assert skipped not in scalars
 
 
 def test_purge_step_drops_replayed_epochs(tmp_path):
