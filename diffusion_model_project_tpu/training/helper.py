@@ -154,10 +154,21 @@ def run_epoch(
         common = dict(cost_name=cost_name,
                       velocity_weights=(weight_u, weight_v, weight_w),
                       velocity_loss_primary=velocity_loss_primary)
+        # donate (predictor, opt_state): XLA aliases the updated params +
+        # Adam moments into the input buffers instead of double-buffering
+        # them — measured −1.5 GB step footprint at published scale (the
+        # output tree aliases 2.14 GB of the arguments; PERF.md). Safe
+        # because the epoch loop only ever reassigns, and every checkpoint
+        # submit snapshots on device first (utils/checkpoint.py). Disabled
+        # under --debug-nans, whose NaN re-execution re-runs the step with
+        # the (now deleted) donated inputs.
+        donate = () if jax.config.jax_debug_nans else (0, 1)
         cache["train_full"] = jax.jit(make_diffusion_train_step(
-            optimizer, physics=physics, lambda_velocity=lambda_velocity, **common))
+            optimizer, physics=physics, lambda_velocity=lambda_velocity,
+            **common), donate_argnums=donate)
         cache["train_plain"] = jax.jit(make_diffusion_train_step(
-            optimizer, physics=None, lambda_velocity=0.0, **common))
+            optimizer, physics=None, lambda_velocity=0.0, **common),
+            donate_argnums=donate)
         cache["eval"] = jax.jit(make_diffusion_eval_step(
             cost_name=cost_name,
             with_physics_metrics=use_physics or use_velocity))

@@ -51,7 +51,12 @@ def _ema_tracker(decay: float) -> "optax.GradientTransformation":
     replicated/sharded by the mesh code, and costs one extra param-sized
     buffer only when enabled (the reference has no EMA at all)."""
     def init(params):
-        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+        # jnp.copy, NOT asarray: asarray aliases the live param buffers, and
+        # the donated train step (helper.py) would then donate the same
+        # buffer twice (once via predictor argnum 0, once via opt_state) —
+        # XLA rejects that at dispatch ("Attempt to donate the same buffer
+        # twice"). One param-sized copy at init breaks the aliasing.
+        return EmaState(ema=jax.tree_util.tree_map(jnp.copy, params))
 
     def update(updates, state, params=None):
         assert params is not None, "ema tracker needs params"

@@ -35,6 +35,36 @@ def _default_serialize(tree: Any) -> bytes:
         jax.tree_util.tree_map(np.asarray, tree))
 
 
+# one jitted list-copy, built lazily; jax's jit cache handles the distinct
+# (len, shapes) signatures (one per checkpoint structure per run)
+_copy_arrays = None
+
+
+def device_snapshot(tree: Any) -> Any:
+    """On-device copy of every jax.Array leaf (non-array leaves pass through).
+
+    Needed when the training step DONATES its params/optimizer buffers
+    (jit donate_argnums): a tree queued on the async writer is fetched on the
+    writer thread while the main loop is already dispatching the next donated
+    step, which deletes the original buffers — the fetch would race it and
+    die with "Array has been deleted". Copying on device first is one cheap
+    dispatch (HBM-bandwidth memcpy) and the copies are never donated.
+    """
+    global _copy_arrays
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    if not idx:
+        return tree
+    if _copy_arrays is None:
+        import jax.numpy as jnp
+
+        _copy_arrays = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+    copies = _copy_arrays([leaves[i] for i in idx])
+    for i, c in zip(idx, copies):
+        leaves[i] = c
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class AsyncCheckpointWriter:
     """One background thread writing pytrees to disk atomically, in order.
 

@@ -42,10 +42,15 @@ def predictor_state(predictor) -> dict:
 
 def save_predictor(predictor, path: str, writer=None) -> None:
     """Write predictor weights; with an AsyncCheckpointWriter the device→host
-    fetch + serialization + disk write happen off-thread (utils/async_ckpt)."""
+    fetch + serialization + disk write happen off-thread (utils/async_ckpt).
+    The queued tree is an on-device COPY: the training step donates its
+    buffers (helper.py), so the originals die at the next step's dispatch
+    while the writer is still fetching."""
     state = predictor_state(predictor)
     if writer is not None:
-        return writer.submit(path, state)
+        from .async_ckpt import device_snapshot
+
+        return writer.submit(path, device_snapshot(state))
     from flax import serialization
 
     state = jax.tree_util.tree_map(np.asarray, state)
@@ -345,7 +350,11 @@ def save_train_state(path: str, predictor, opt_state, epoch: int,
         "best_loss": np.float64(best_loss),
     }
     if writer is not None:
-        return writer.submit(path, state)
+        # on-device copy: the originals are donated into the next train step
+        # while the writer thread fetches (see save_predictor)
+        from .async_ckpt import device_snapshot
+
+        return writer.submit(path, device_snapshot(state))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(

@@ -76,3 +76,40 @@ def test_error_does_not_block_future_writers(tmp_path):
     w.submit(ok, {"a": jnp.ones(2)})
     w.close()
     assert os.path.exists(ok)
+
+
+def test_device_snapshot_survives_donation(tmp_path):
+    """The donated-training contract (training/helper.py): a checkpoint tree
+    queued on the writer is an on-device COPY, so donating the originals into
+    the next step cannot invalidate the writer's fetch."""
+    import jax
+
+    from diffusion_model_project_tpu.utils.async_ckpt import device_snapshot
+
+    tree = {"w": jnp.arange(8.0), "b": jnp.ones((3,)),
+            "epoch": np.int64(4), "note": "not-an-array"}
+    snap = device_snapshot(tree)
+    # non-array leaves pass through untouched (serialization format depends
+    # on np.int64 staying a scalar, not becoming a 0-d array)
+    assert snap["epoch"] is tree["epoch"] and snap["note"] is tree["note"]
+    assert snap["w"] is not tree["w"]
+
+    # donate the ORIGINALS into a jitted update; the snapshot must survive
+    step = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x * 2, t),
+                   donate_argnums=0)
+    new = step({"w": tree["w"], "b": tree["b"]})
+    np.testing.assert_array_equal(np.asarray(snap["w"]), np.arange(8.0))
+    np.testing.assert_array_equal(np.asarray(new["w"]), 2 * np.arange(8.0))
+    if tree["w"].is_deleted():  # donation honored on this backend
+        with pytest.raises(RuntimeError):
+            np.asarray(tree["w"])
+
+    # and the writer round-trips the snapshot (sans the str leaf, which real
+    # checkpoint trees never contain and msgpack does not serialize)
+    w = AsyncCheckpointWriter()
+    path = str(tmp_path / "snap.msgpack")
+    w.submit(path, {k: v for k, v in snap.items() if k != "note"})
+    w.close()
+    got = serialization.msgpack_restore(open(path, "rb").read())
+    np.testing.assert_array_equal(got["w"], np.arange(8.0))
+    assert got["epoch"] == 4
