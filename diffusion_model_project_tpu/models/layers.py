@@ -49,15 +49,23 @@ def train_trace():
     - GroupNorm: robust two-pass statistics (one-pass E[x^2]-mu^2 loses all
       variance bits if training drifts activations to |mean|/std > ~3e3;
       see ops.basic.group_norm).
+    - Pallas fusion OFF: pallas_call has no transpose rule, so a training
+      step traced through fused_groupnorm_act/fused_attention would fail in
+      reverse-mode grad (and only when the VMEM-budget fallback didn't
+      happen to reroute it) — inference keeps whatever the flags say.
     """
     from ..ops import basic
 
-    prev = (CONV3D_SHIFT_OUTPUTS, basic.GN_TWO_PASS)
+    global PALLAS_ATTENTION, PALLAS_GROUPNORM
+    prev = (CONV3D_SHIFT_OUTPUTS, basic.GN_TWO_PASS,
+            PALLAS_ATTENTION, PALLAS_GROUPNORM)
     _set_train_trace(True)
+    PALLAS_ATTENTION = PALLAS_GROUPNORM = False
     try:
         yield
     finally:
-        globals()["CONV3D_SHIFT_OUTPUTS"], basic.GN_TWO_PASS = prev
+        (globals()["CONV3D_SHIFT_OUTPUTS"], basic.GN_TWO_PASS,
+         globals()["PALLAS_ATTENTION"], globals()["PALLAS_GROUPNORM"]) = prev
 
 
 def _set_train_trace(on: bool) -> None:
@@ -161,32 +169,28 @@ class Conv(nn.Module):
 
         if (CONV3D_DECOMPOSE and ndim == 3 and ks[0] == 3 and strides[0] == 1):
             out = self._conv3d_decomposed(x, weight, strides, pad_cfg)
-            if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros, (self.features,))
-                out = out + bias.astype(out.dtype)
-            return out
-
-        dn = lax.conv_dimension_numbers(
-            x.shape,
-            weight.shape,
-            (
-                ("NHC", "HIO", "NHC"),
-                ("NHWC", "HWIO", "NHWC"),
-                ("NDHWC", "DHWIO", "NDHWC"),
-            )[ndim - 1],
-        )
-        from ..ops.quant import use_float_path
-
-        if CONV_INT8 and ndim in (2, 3) and not use_float_path(in_ch, self.features):
-            from ..ops.quant import int8_conv
-
-            out = int8_conv(x, weight, strides, pad_cfg, dn, x.dtype)
         else:
-            out = lax.conv_general_dilated(
-                x, weight.astype(x.dtype), strides, pad_cfg,
-                dimension_numbers=dn,
-                preferred_element_type=_pet(x),
-            ).astype(x.dtype)
+            dn = lax.conv_dimension_numbers(
+                x.shape,
+                weight.shape,
+                (
+                    ("NHC", "HIO", "NHC"),
+                    ("NHWC", "HWIO", "NHWC"),
+                    ("NDHWC", "DHWIO", "NDHWC"),
+                )[ndim - 1],
+            )
+            from ..ops.quant import use_float_path
+
+            if CONV_INT8 and ndim in (2, 3) and not use_float_path(in_ch, self.features):
+                from ..ops.quant import int8_conv
+
+                out = int8_conv(x, weight, strides, pad_cfg, dn, x.dtype)
+            else:
+                out = lax.conv_general_dilated(
+                    x, weight.astype(x.dtype), strides, pad_cfg,
+                    dimension_numbers=dn,
+                    preferred_element_type=_pet(x),
+                ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias.astype(out.dtype)
@@ -260,7 +264,15 @@ class ConvTranspose2x2(nn.Module):
         b, h, w, c = x.shape
         weight = self.param(
             "weight",
-            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            # in_axis=1: torch's _calculate_fan_in_and_fan_out reads size(1)
+            # as fan-in, which for a ConvTranspose (in, out, kH, kW) weight is
+            # the OUT channels — so kaiming_uniform(a=sqrt(5)) bounds are
+            # 1/sqrt(out*kH*kW). The default (-2, -1) axes on this layout
+            # computed fan_in = kH*in*out, ~16x too small a bound at the
+            # reference widths (wrong init scale for from-scratch training;
+            # imported checkpoints were unaffected).
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
+                                             in_axis=1, out_axis=0),
             (c, self.features, 2, 2),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))

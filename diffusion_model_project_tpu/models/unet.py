@@ -187,13 +187,14 @@ class UNet(nn.Module):
                         self.activation, self.dropout, use_time,
                         name="bottleneck")(x, time_emb, train)
 
+        rheads = heads[::-1]
         for k, f in enumerate(reversed(features)):
             x = Up(f, self.activation, name=f"dec{k}_up")(x)
             x = jnp.concatenate([skips[-1 - k], x], axis=-1)
             x = DoubleBlock(f, f, self.kernel_size, self.padding_mode,
                             self.activation, self.dropout, use_time,
                             name=f"dec{k}_conv")(x, time_emb, train)
-            h_k = list(reversed(heads))[k]
+            h_k = rheads[k]
             if h_k is not None:
                 x = SelfAttention2D(h_k, name=f"dec{k}_attn")(x)
 

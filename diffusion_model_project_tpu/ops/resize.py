@@ -19,6 +19,13 @@ import jax.numpy as jnp
 
 def _resize_axis_linear(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     """1D linear resize along ``axis`` with align_corners=False, no antialias."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # torch.nn.functional.interpolate raises for integer/bool inputs in
+        # the linear modes; casting the lerp weights to such a dtype would
+        # silently truncate every fractional weight to 0 or 1 instead
+        raise TypeError(
+            f"linear resize requires a floating dtype, got {x.dtype} "
+            f"(cast the input first; torch interpolate raises here too)")
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
@@ -27,13 +34,16 @@ def _resize_axis_linear(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray
     src = jnp.maximum(src, 0.0)
     i0 = jnp.minimum(jnp.floor(src).astype(jnp.int32), in_size - 1)
     i1 = jnp.minimum(i0 + 1, in_size - 1)
-    w1 = (src - i0.astype(jnp.float32)).astype(x.dtype)
+    # lerp in >= float32: half-precision weights would round to ~3 significant
+    # digits and drift from the torch parity this module asserts
+    wdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.float64) else jnp.float32
+    w1 = (src - i0.astype(jnp.float32)).astype(wdtype)
     shape = [1] * x.ndim
     shape[axis] = out_size
     w1 = w1.reshape(shape)
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i1, axis=axis)
-    return x0 + w1 * (x1 - x0)
+    x0 = jnp.take(x, i0, axis=axis).astype(wdtype)
+    x1 = jnp.take(x, i1, axis=axis).astype(wdtype)
+    return (x0 + w1 * (x1 - x0)).astype(x.dtype)
 
 
 def interpolate_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -1,6 +1,7 @@
 """Parity tests: ops layer vs torch / scipy reference semantics."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import torch
@@ -236,3 +237,33 @@ def test_group_norm_dc_offset_robustness(rng):
     theirs = gn(torch.from_numpy(x).permute(0, 3, 1, 2)) \
         .detach().permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_conv_transpose_init_scale_matches_torch():
+    """From-scratch init parity: torch's ConvTranspose2d kaiming_uniform
+    bound is 1/sqrt(out*kH*kW) (its fan_in reads weight.size(1), which for a
+    transposed conv is the OUT channels). The (in, out, kH, kW) layout needs
+    explicit in_axis=1/out_axis=0 — the variance_scaling defaults computed
+    fan_in = kH*in*out, a ~16x-too-small bound at reference widths."""
+    import torch
+
+    from diffusion_model_project_tpu.models.layers import ConvTranspose2x2
+
+    c_in, c_out = 512, 256
+    params = ConvTranspose2x2(features=c_out).init(
+        jax.random.key(0), jnp.zeros((1, 4, 4, c_in)))
+    ours = float(np.abs(np.asarray(params["params"]["weight"])).max())
+    bound = float(torch.nn.ConvTranspose2d(c_in, c_out, 2, stride=2)
+                  .weight.detach().abs().max())
+    assert abs(ours - bound) / bound < 0.05, (ours, bound)
+
+
+def test_linear_resize_rejects_integer_dtypes():
+    """torch.interpolate raises for int/bool in the linear modes; truncated
+    integer lerp weights would otherwise silently return a floor-gather."""
+    from diffusion_model_project_tpu.ops.resize import interpolate_bilinear
+
+    with pytest.raises(TypeError, match="floating"):
+        interpolate_bilinear(jnp.ones((1, 8, 8, 1), jnp.int32), 4, 4)
+    with pytest.raises(TypeError, match="floating"):
+        interpolate_bilinear(jnp.ones((1, 8, 8, 1), jnp.bool_), 4, 4)
