@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
+import re
 import random
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -60,13 +61,32 @@ def _load_pt(path: str) -> np.ndarray:
         try:
             os.makedirs(cache_dir, exist_ok=True)
             for stale in os.listdir(cache_dir):
-                # only entries for THIS source with a DIFFERENT size/mtime
-                # key; never touch in-flight .tmp files or the current key —
-                # concurrent processes (multi-host training) may be loading
-                # or promoting them right now
-                if (stale.startswith(name + ".") and stale.endswith(".npy")
-                        and ".tmp" not in stale
-                        and stale != osp.basename(cache)):
+                if not stale.startswith(name + ".") or not stale.endswith(".npy"):
+                    continue
+                if ".tmp" in stale:
+                    # a crashed/SIGKILLed writer's orphan (can be ~GB at real
+                    # dataset scale). Reclaim it only when its owning pid is
+                    # dead — a LIVE concurrent process (multi-host training)
+                    # may still be np.save-ing into it right now.
+                    m = re.search(r"\.tmp(\d+)\.npy$", stale)
+                    owner_alive = False
+                    if m:
+                        try:
+                            os.kill(int(m.group(1)), 0)
+                            owner_alive = True
+                        except ProcessLookupError:
+                            pass
+                        except OSError:  # EPERM etc: exists but not ours
+                            owner_alive = True
+                    if not owner_alive:
+                        try:
+                            os.remove(osp.join(cache_dir, stale))
+                        except OSError:
+                            pass
+                    continue
+                # completed entries for THIS source with a DIFFERENT
+                # size/mtime key; never the current key
+                if stale != osp.basename(cache):
                     try:
                         os.remove(osp.join(cache_dir, stale))
                     except OSError:
@@ -147,8 +167,12 @@ class MicroFlowDataset:
             if os.listdir(self.root_dir) == []:
                 from .zenodo import DATASET_URL, download_data, unzip_data
 
-                zip_path = download_data(url=DATASET_URL, save_dir=str(os.path.dirname(self.root_dir) or "."))
-                unzip_data(zip_path=zip_path, save_dir=str(os.path.dirname(self.root_dir) or "."))
+                # rstrip: dirname('data/microflow/') returns the dir ITSELF,
+                # which would unzip the archive one level too deep (the
+                # reference uses Path(root).parent, which strips the slash)
+                parent = os.path.dirname(self.root_dir.rstrip(os.sep)) or "."
+                zip_path = download_data(url=DATASET_URL, save_dir=parent)
+                unzip_data(zip_path=zip_path, save_dir=parent)
             self.process()
 
     # ------------------------------------------------------------------ io
@@ -340,9 +364,15 @@ class MicroFlowDatasetVAE:
         micro = self.data["microstructure"][base_idx].astype(np.float32)  # (D, 1, H, W)
         vel = np.transpose(vel, (1, 0, 2, 3))     # (3, D, H, W)
         micro = np.transpose(micro, (1, 0, 2, 3))  # (1, D, H, W)
+        pressure = np.transpose(
+            self.data["pressure"][base_idx].astype(np.float32), (1, 0, 2, 3))
         sample = {
             "velocity": vel,
             "microstructure": micro,
+            # part of the reference item contract (VAE dataset.py:461-469)
+            # even though the final trainers never read them
+            "pressure": pressure,
+            "dxyz": self.data["dxyz"][base_idx].astype(np.float32),
             "is_2d": np.asarray(is_2d),
             "original_idx": np.asarray(base_idx),
         }
@@ -362,6 +392,8 @@ class MicroFlowDatasetVAE:
             if rng.random() < 0.5:
                 sample["velocity"] = np.flip(sample["velocity"], axis=axis).copy()
                 sample["microstructure"] = np.flip(sample["microstructure"], axis=axis).copy()
+                if "pressure" in sample:  # flipped alongside (reference :439-459)
+                    sample["pressure"] = np.flip(sample["pressure"], axis=axis).copy()
                 sample["velocity"][comp] = -sample["velocity"][comp]
         return sample
 

@@ -36,10 +36,21 @@ StateDict = Dict[str, Array]
 # --------------------------------------------------------------------------
 
 def load_torch_state_dict(path: str) -> StateDict:
-    """Load a .pt state dict as {key: np.float32 array}."""
+    """Load a .pt state dict as {key: np.float32 array}.
+
+    Checkpoints saved as ``torch.save(model)`` (whole nn.Module, a legacy
+    pattern the reference's loaders tolerate) cannot be unpickled under
+    weights_only=True — torch raises before the ``state_dict()`` fallback
+    could ever run — so that case retries with weights_only=False.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # full-module pickle; requires trusting the file like the reference
+        # does (its torch.load predates weights_only)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}

@@ -186,7 +186,10 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             # sample would reuse the same DDPM noise stream
             return pred.predict(img, v2d, noise=noise, rng=rng)
 
-    def _sample_noise(sample_idx, s, lh, lw):
+    def _sample_noise(sample_idx, ld, lh, lw):
+        """Initial latents for one sample: (latent_depth, C, lh, lw) — the
+        reference probes the VAE's real latent depth (eval:793-810), so a
+        vae_depth_factor>1 model draws ld = S//factor slices, not S."""
         if noise_dir is not None:
             return jnp.asarray(np.load(osp.join(noise_dir, f"{sample_idx}.npy")))
         if torch_noise:
@@ -195,10 +198,10 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             import torch
             torch.manual_seed(seed + sample_idx)
             return jnp.asarray(torch.randn(
-                s, predictor.latent_channels, lh, lw).numpy())
+                ld, predictor.latent_channels, lh, lw).numpy())
         return jax.random.normal(
             jax.random.key(seed + sample_idx),
-            (s, predictor.latent_channels, lh, lw))
+            (ld, predictor.latent_channels, lh, lw))
 
     def _dispatch(chunk):
         """Host-side prep of a chunk of samples + async device dispatch.
@@ -211,15 +214,25 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
         true_n = len(chunk)
         padded = list(chunk) + [chunk[-1]] * (batch_size - true_n)
         datas = [test_dataset[i] for i in padded]
-        img = jnp.asarray(np.stack([d["microstructure"] for d in datas]))
-        velocity_2d = jnp.asarray(np.stack([d["velocity_input"] for d in datas]))
-        target = jnp.asarray(np.stack([d["velocity"] for d in datas]))
+        # host numpy stacks; the jit dispatch transfers what the device
+        # needs, and the metric loop reads these directly (no D2H fetch-back)
+        img = np.stack([d["microstructure"] for d in datas])
+        velocity_2d = np.stack([d["velocity_input"] for d in datas])
+        target = np.stack([d["velocity"] for d in datas])
 
-        s = velocity_2d.shape[1]
-        lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
-        noise = jnp.stack([_sample_noise(i, s, lh, lw) for i in padded])
+        if sanity_mode:
+            # the VAE-only path ignores the initial latents; drawing (or
+            # np.load-ing, for --noise-dir) them would waste work or crash
+            noise, target_arg = None, target
+        else:
+            ld = velocity_2d.shape[1] // predictor.vae_depth_factor
+            lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
+            noise = jnp.stack([_sample_noise(i, ld, lh, lw) for i in padded])
+            # the samplers never read the target; None (an empty pytree)
+            # skips its H2D transfer entirely
+            target_arg = None
 
-        pred_dev = predict_fn(predictor, img, velocity_2d, target, noise,
+        pred_dev = predict_fn(predictor, img, velocity_2d, target_arg, noise,
                               jax.random.key(seed + chunk[0]))
         return img, target, pred_dev
 
@@ -229,8 +242,10 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
     # Software-pipelined loop: chunk i+1 is prepared and dispatched to the
     # device BEFORE chunk i's result is fetched, so host-side work (noise
     # gen, metric numpy reductions, npz writes) overlaps device sampling.
-    # time_sec is the steady-state per-sample pipeline time (gap between
-    # consecutive result completions / chunk size) — what samples/sec reports.
+    # time_sec is the per-sample pipeline time (gap between consecutive
+    # result completions / chunk size). NB the FIRST chunk's time includes
+    # jit trace+compile (minutes through the TPU tunnel on a cold cache) —
+    # the steady-state rate printed at the end excludes it.
     start_time = time.time()
     inflight = None  # (chunk, first_eval_idx, img, target, pred_dev)
     last_done = start_time
@@ -294,6 +309,13 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
     total_time = time.time() - start_time
     print(f"\nTotal evaluation time: {total_time:.2f}s")
     print(f"Average time per sample: {total_time / max(1, len(per_sample_results)):.2f}s")
+    if chunks and len(per_sample_results) > len(chunks[0]):
+        # exclude the first chunk: its time_sec carries the one-off jit
+        # trace+compile, which would overstate the per-sample cost
+        steady = [r["time_sec"] for r in per_sample_results[len(chunks[0]):]]
+        print(f"Steady-state (excl. first-chunk compile): "
+              f"{float(np.mean(steady)):.2f}s/sample "
+              f"({1.0 / max(float(np.mean(steady)), 1e-9):.2f} samples/sec)")
     return per_sample_results, sanity_stats
 
 
