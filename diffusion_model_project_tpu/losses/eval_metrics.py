@@ -87,6 +87,12 @@ def compute_cosine_similarity(y_pred, y_true, mask=None) -> float:
 
 
 def compute_iou_topk(y_pred, y_true, k_percent: float = 10.0, mask=None) -> float:
+    """IoU of high-magnitude voxel sets, kept BUG-FOR-BUG with the reference
+    (eval_testset_end2end.py:295-330): the threshold index is n*(100-k)/100
+    into the DESCENDING sort, so "iou_top10" actually compares the top 90%
+    sets (near-saturated for any sane prediction), not the top 10%. Faithful
+    on purpose — eval reports must be comparable number-for-number with
+    reference-produced ones."""
     y_pred, y_true, mask = _ensure_5d(y_pred, y_true, mask)
     mag_pred = np.linalg.norm(y_pred, axis=2).reshape(-1)
     mag_true = np.linalg.norm(y_true, axis=2).reshape(-1)

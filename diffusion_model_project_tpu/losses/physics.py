@@ -243,7 +243,7 @@ def reconstruct_velocity_from_noise_pred(
         z, method="decode_3d")  # (B, S, H, W, 3) channels-last
     vel = predictor.norm_output.inverse(vel, channel_axis=-1)
     h, w = img.shape[-2], img.shape[-1]
-    if vel.shape[1] != s or vel.shape[2] != h:
+    if vel.shape[1] != s or vel.shape[2] != h or vel.shape[3] != w:
         from ..ops.resize import interpolate_trilinear
         vel = interpolate_trilinear(vel, s, h, w)
     vel = jnp.moveaxis(vel, -1, 2)  # (B, S, 3, H, W)

@@ -95,13 +95,18 @@ def load_stage1_params(folder: str) -> dict:
     from flax import serialization
     from ..utils import torch_import as ti
 
-    for name in ("vae.msgpack", "best_model.msgpack", "model.msgpack"):
+    # best_model first, like the reference stage-2 trainer
+    # (train_2d_with_cross.py:249-252) and the split enc/dec loaders in
+    # utils/checkpoint.py — the SAME stage-1 weights must be picked whether a
+    # run dir is consumed by stage-2 training or by diffusion-side loading
+    for name in ("best_model.msgpack", "vae.msgpack", "model.msgpack"):
         path = osp.join(folder, name)
         if osp.exists(path):
             with open(path, "rb") as f:
                 state = serialization.msgpack_restore(f.read())
             return {"encoder_3d": state["encoder_3d"], "decoder_3d": state["decoder_3d"]}
-    sd = ti.load_torch_state_dict(ti.find_model_file(folder))
+    sd = ti.load_torch_state_dict(ti.find_model_file(
+        folder, ("best_model.pt", "vae.pt", "model.pt")))
     flavor = ti.detect_vae_checkpoint_type(sd)
     if flavor in ("dual_stage1_3d", "dual_full"):
         return {

@@ -54,8 +54,14 @@ def save_predictor(predictor, path: str, writer=None) -> None:
     from flax import serialization
 
     state = jax.tree_util.tree_map(np.asarray, state)
-    with open(path, "wb") as f:
+    # atomic like every other checkpoint write: a kill mid-write must leave
+    # the previous complete file, never a truncated one
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(state))
+    os.replace(tmp, path)
 
 
 def _check_param_structure(expected, got, what: str) -> None:
@@ -96,14 +102,20 @@ def load_predictor_state(predictor, path: str):
 # reference .pt loading
 # --------------------------------------------------------------------------
 
-_NATIVE_ORDER = ("best_model.msgpack", "vae.msgpack", "model.msgpack")
+# filename preference orders, matching the reference's TWO conventions:
+# split encoder/decoder dirs try best_model first (predictor.py:500,511 and
+# train_2d_with_cross.py:249-252); a single --vae-path dir tries vae first
+# (predictor.py:391,438; autoencoder.py:117)
+_NATIVE_ORDER_SPLIT = ("best_model.msgpack", "vae.msgpack", "model.msgpack")
+_NATIVE_ORDER_SINGLE = ("vae.msgpack", "best_model.msgpack", "model.msgpack")
 
 
-def _load_native_branches(folder: str) -> Optional[dict]:
+def _load_native_branches(folder: str,
+                          order=_NATIVE_ORDER_SPLIT) -> Optional[dict]:
     """Load a native msgpack VAE checkpoint's branch dict if one exists."""
     from flax import serialization
 
-    for name in _NATIVE_ORDER:
+    for name in order:
         path = osp.join(folder, name)
         if osp.exists(path):
             with open(path, "rb") as f:
@@ -130,22 +142,6 @@ def load_dual_vae_from_paths(
                 log = json.load(f)
             norm_factors = log.get("norm_factors")
 
-        enc_native = _load_native_branches(vae_encoder_path)
-        dec_native = _load_native_branches(vae_decoder_path)
-        if enc_native is not None and dec_native is not None:
-            e2d = enc_native.get("encoder_2d", enc_native.get("encoder_3d"))
-            d3d = dec_native["decoder_3d"]
-            e3d = dec_native["encoder_3d"]
-            d2d = enc_native.get("decoder_2d", d3d)
-            return ({"encoder_2d": e2d, "encoder_3d": e3d,
-                     "decoder_2d": d2d, "decoder_3d": d3d},
-                    norm_factors, "dual_split_native")
-
-        enc_sd = ti.load_torch_state_dict(
-            ti.find_model_file(vae_encoder_path, ("best_model.pt", "vae.pt", "model.pt")))
-        dec_sd = ti.load_torch_state_dict(
-            ti.find_model_file(vae_decoder_path, ("best_model.pt", "vae.pt", "model.pt")))
-
         def pick(sd, dual_prefix, std_prefix, what):
             sub = ti.strip_prefix(sd, dual_prefix)
             if not sub:
@@ -155,19 +151,51 @@ def load_dual_vae_from_paths(
                     f"Cannot find {what} weights (looked for '{dual_prefix}' / '{std_prefix}')")
             return sub
 
-        e2d = ti.import_vae_encoder(pick(enc_sd, "encoder_2d.", "encoder.", "E2D"))
-        d3d = ti.import_vae_decoder(pick(dec_sd, "decoder_3d.", "decoder.", "D3D"))
-        e3d = ti.import_vae_encoder(pick(dec_sd, "encoder_3d.", "encoder.", "E3D"))
-        d2d_sub = ti.strip_prefix(enc_sd, "decoder_2d.")
-        d2d = ti.import_vae_decoder(d2d_sub) if d2d_sub else d3d
+        # each dir resolves INDEPENDENTLY (native msgpack falling back to
+        # reference .pt), so mixed-format pairs — a natively-trained stage-2
+        # next to a reference stage-1, or vice versa — load fine
+        enc_native = _load_native_branches(vae_encoder_path)
+        dec_native = _load_native_branches(vae_decoder_path)
+        any_native = enc_native is not None or dec_native is not None
+
+        if dec_native is not None:
+            if "decoder_3d" not in dec_native or "encoder_3d" not in dec_native:
+                raise ValueError(
+                    f"Native checkpoint in {vae_decoder_path} lacks the 3D "
+                    f"branch (keys: {sorted(dec_native)}); provide the Stage 1 "
+                    f"run dir via --vae-decoder-path.")
+            d3d = dec_native["decoder_3d"]
+            e3d = dec_native["encoder_3d"]
+        else:
+            dec_sd = ti.load_torch_state_dict(ti.find_model_file(
+                vae_decoder_path, ("best_model.pt", "vae.pt", "model.pt")))
+            d3d = ti.import_vae_decoder(pick(dec_sd, "decoder_3d.", "decoder.", "D3D"))
+            e3d = ti.import_vae_encoder(pick(dec_sd, "encoder_3d.", "encoder.", "E3D"))
+
+        if enc_native is not None:
+            e2d = enc_native.get("encoder_2d", enc_native.get("encoder_3d"))
+            if e2d is None:
+                raise ValueError(
+                    f"Native checkpoint in {vae_encoder_path} has neither "
+                    f"encoder_2d nor encoder_3d (keys: {sorted(enc_native)})")
+            d2d = enc_native.get("decoder_2d", d3d)
+        else:
+            enc_sd = ti.load_torch_state_dict(ti.find_model_file(
+                vae_encoder_path, ("best_model.pt", "vae.pt", "model.pt")))
+            e2d = ti.import_vae_encoder(pick(enc_sd, "encoder_2d.", "encoder.", "E2D"))
+            d2d_sub = ti.strip_prefix(enc_sd, "decoder_2d.")
+            d2d = ti.import_vae_decoder(d2d_sub) if d2d_sub else d3d
+
         return ({"encoder_2d": e2d, "encoder_3d": e3d,
-                 "decoder_2d": d2d, "decoder_3d": d3d}, norm_factors, "dual_split")
+                 "decoder_2d": d2d, "decoder_3d": d3d},
+                norm_factors,
+                "dual_split_native" if any_native else "dual_split")
 
     if vae_path is None:
         raise ValueError("VAE path must be provided for latent diffusion, or both "
                          "encoder and decoder paths must be specified")
 
-    native = _load_native_branches(vae_path)
+    native = _load_native_branches(vae_path, order=_NATIVE_ORDER_SINGLE)
     if native is not None:
         vae_log_p = osp.join(vae_path, "vae_log.json")
         if osp.exists(vae_log_p):
@@ -372,6 +400,13 @@ def load_train_state(path: str, predictor, opt_state):
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     ps = state["predictor"]
+    # strict=True semantics on resume: resuming with different model-shaping
+    # flags must fail HERE with missing/unexpected keys, not later as an
+    # opaque flax scope error (or worse, train silently mis-shaped)
+    _check_param_structure(predictor.unet_params, ps["unet_params"],
+                           f"unet_params from {path}")
+    _check_param_structure(predictor.vae_params, ps["vae_params"],
+                           f"vae_params from {path}")
     predictor = dataclasses.replace(
         predictor,
         unet_params=ps["unet_params"],
@@ -400,30 +435,27 @@ def peek_train_state_epoch(path: str) -> int:
         return int(serialization.msgpack_restore(f.read())["epoch"]) + 1
 
 
-def retrieve_model_path(directory_or_url: str, filename: str = "model.pt") -> str:
-    """Resolve a local dir or URL to a weights file path, downloading +
-    unzipping from Zenodo when given a URL (reference helper.py:563-590)."""
+def _resolve_directory(directory_or_url: str, folder: str = "pretrained") -> str:
+    """Resolve a local dir or Zenodo URL to a local directory (downloading +
+    unzipping for URLs); shared by both URL-transparent entry points."""
     from ..data.zenodo import download_data, is_url, unzip_data
 
     if is_url(directory_or_url):
-        folder = "pretrained"
         import os
+
         os.makedirs(folder, exist_ok=True)
         zip_path = download_data(url=directory_or_url, save_dir=folder)
-        folder_path = unzip_data(zip_path=zip_path, save_dir=folder)
-        return osp.join(folder_path, filename)
-    return osp.join(directory_or_url, filename)
+        return unzip_data(zip_path=zip_path, save_dir=folder)
+    return directory_or_url
+
+
+def retrieve_model_path(directory_or_url: str, filename: str = "model.pt") -> str:
+    """Resolve a local dir or URL to a weights file path, downloading +
+    unzipping from Zenodo when given a URL (reference helper.py:563-590)."""
+    return osp.join(_resolve_directory(directory_or_url), filename)
 
 
 def predictor_from_directory_or_url(directory_or_url: str, **kwargs):
     """from_directory with transparent Zenodo download for URLs
     (reference predictor.py:252-292)."""
-    from ..data.zenodo import download_data, is_url, unzip_data
-
-    if is_url(directory_or_url):
-        import os
-        folder = "pretrained"
-        os.makedirs(folder, exist_ok=True)
-        zip_path = download_data(url=directory_or_url, save_dir=folder)
-        directory_or_url = unzip_data(zip_path=zip_path, save_dir=folder)
-    return predictor_from_directory(directory_or_url, **kwargs)
+    return predictor_from_directory(_resolve_directory(directory_or_url), **kwargs)

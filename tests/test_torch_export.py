@@ -6,6 +6,7 @@ load_state_dict(strict=True) — that is the whole migration contract
 (reference Diffusion_model/src/predictor.py:194-218 loads with strict=True).
 """
 import json
+import os
 
 import numpy as np
 import pytest
@@ -186,3 +187,38 @@ def test_export_vae_dir_stage1(tmp_path, torch_seed):
     expected = {k: v for k, v in sd.items()
                 if k.startswith(("encoder_3d.", "decoder_3d."))}
     _assert_sd_equal(expected, out, "stage1")
+
+
+def test_mixed_format_split_vae_load(tmp_path, shared_stage1_dir, shared_stage2_dir):
+    """Each split VAE dir resolves independently: a natively-trained stage-2
+    encoder dir pairs with a reference-format .pt stage-1 decoder dir (and
+    the all-native pairing still works)."""
+    import shutil
+
+    from diffusion_model_project_tpu.utils.checkpoint import load_dual_vae_from_paths
+    from diffusion_model_project_tpu.utils.torch_export import export_vae_dir
+
+    # all-native baseline
+    params_native, _, flavor = load_dual_vae_from_paths(
+        vae_encoder_path=shared_stage2_dir, vae_decoder_path=shared_stage1_dir)
+    assert flavor == "dual_split_native"
+
+    # convert the stage-1 run dir to a reference .pt-only dir
+    pt_dir = tmp_path / "stage1_pt"
+    pt_dir.mkdir()
+    exported = export_vae_dir(shared_stage1_dir, out_dir=str(pt_dir))
+    assert exported
+    for extra in ("vae_log.json",):
+        src = os.path.join(shared_stage1_dir, extra)
+        if os.path.exists(src):
+            shutil.copy(src, pt_dir / extra)
+
+    params_mixed, _, flavor = load_dual_vae_from_paths(
+        vae_encoder_path=shared_stage2_dir, vae_decoder_path=str(pt_dir))
+    assert flavor == "dual_split_native"  # one native side
+    for branch in ("encoder_3d", "decoder_3d"):
+        a = jax.tree_util.tree_leaves(params_native[branch])
+        b = jax.tree_util.tree_leaves(params_mixed[branch])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
