@@ -52,9 +52,15 @@ def compute_velocity_statistics(
             pc[f"std_{c_name}"] = float(component.std(ddof=1))
         pc[f"min_{c_name}"] = float(component.min())
         flat = component.reshape(-1)
-        for p in _PERCENTILES:
-            pc[f"p{p}_{c_name}"] = float(np.percentile(flat, p))
-        median = float(np.median(flat))
+        # one selection pass for all percentiles (the flattened array is tens
+        # of millions of elements at real-dataset scale; per-percentile calls
+        # re-partition it each time). np.median == np.percentile(·, 50) with
+        # the default interpolation, so p50 doubles as the median.
+        pvals = np.percentile(flat, _PERCENTILES)
+        for p, v in zip(_PERCENTILES, pvals):
+            pc[f"p{p}_{c_name}"] = float(v)
+        median = (float(pvals[_PERCENTILES.index(50)]) if 50 in _PERCENTILES
+                  else float(np.median(flat)))
         pc[f"median_{c_name}"] = median
         pc[f"mad_{c_name}"] = float(np.median(np.abs(flat - median)))
     stats[f"{prefix}_per_component"] = pc
@@ -108,7 +114,8 @@ def generate_statistics(
     out_path = osp.join(dataset_dir, output)
     if osp.exists(out_path) and not force:
         print(f"{out_path} exists; use force=True/--force to overwrite")
-        return json.load(open(out_path))
+        with open(out_path) as f:
+            return json.load(f)
 
     split_path = osp.join(dataset_dir, split_file)
     if generate_split or not osp.exists(split_path):

@@ -38,8 +38,7 @@ def initialize(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if process_id is None:
-        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    env_pid = os.environ.get("JAX_PROCESS_ID")
     if coordinator and num_processes <= 1:
         # a coordinator address IS multi-process intent; silently degrading
         # to independent single-host training would waste the whole launch
@@ -47,6 +46,23 @@ def initialize(coordinator: Optional[str] = None,
             f"--coordinator {coordinator!r} given but num_processes="
             f"{num_processes}; pass --num-processes/--process-id (or "
             f"JAX_NUM_PROCESSES/JAX_PROCESS_ID) on every host.")
+    if num_processes > 1 and not coordinator:
+        # the mirror case: every host would silently run an INDEPENDENT
+        # single-process training, duplicating all work and racing each
+        # other's run-dir writes on a shared filesystem
+        raise ValueError(
+            f"num_processes={num_processes} given but no coordinator "
+            f"address; pass --coordinator host:port (or "
+            f"JAX_COORDINATOR_ADDRESS) on every host.")
+    if num_processes > 1 and process_id is None and env_pid is None:
+        # defaulting every host to process_id=0 hangs or dies deep inside
+        # the coordination service as a duplicate task 0 — fail fast with
+        # the same actionable message as the other guards
+        raise ValueError(
+            f"num_processes={num_processes} given but no process id; pass "
+            f"a distinct --process-id (or JAX_PROCESS_ID) on every host.")
+    if process_id is None:
+        process_id = int(env_pid or "0")
     if not coordinator:
         return False
     jax.distributed.initialize(coordinator_address=coordinator,

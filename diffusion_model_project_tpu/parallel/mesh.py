@@ -70,8 +70,11 @@ def maybe_shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
         # a mesh without the requested axis has nothing to shard over;
         # sharding against it would raise inside device_put
         return batch
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:  # empty pytree: nothing to shard (shard_batch accepts any)
+        return batch
     n = mesh.shape[axis]
-    b = next(iter(batch.values())).shape[0]
+    b = leaves[0].shape[0]
     if b % n == 0:
         return shard_batch(batch, mesh, axis)
     key = (int(b), int(n))

@@ -122,6 +122,15 @@ def test_initialize_rejects_coordinator_without_process_count(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert initialize_distributed() is False
 
+    # the mirror guards: a process COUNT without a coordinator would leave
+    # every host training independently (duplicated work, racing run dirs),
+    # and a count without distinct process ids collides as duplicate task 0
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed(num_processes=4)
+    with pytest.raises(ValueError, match="process id"):
+        initialize_distributed("localhost:12345", num_processes=4)
+
 
 def _free_port():
     s = socket.socket()
