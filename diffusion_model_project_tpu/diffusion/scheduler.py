@@ -213,6 +213,10 @@ def dpm_solver_coefficients(alphas_cumprod, ts: np.ndarray, order: int = 2) -> d
     — the standard multistep warm-up and "lower-order-final" rule that also
     keeps the h=inf boundary step finite).
     """
+    if order not in (1, 2):
+        # only first and second order are implemented; silently running a
+        # requested order=3 as 2M would misreport benchmark/quality numbers
+        raise ValueError(f"DPM-Solver++ order must be 1 or 2, got {order}")
     ts = np.asarray(ts, np.int64)
     if len(ts) > 1 and not np.all(np.diff(ts) < 0):
         # ValueError, not assert: under python -O a non-decreasing ts would

@@ -314,12 +314,15 @@ class Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    weight_init: Optional[nn.initializers.Initializer] = None
+    bias_init: Optional[nn.initializers.Initializer] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.param(
             "weight",
-            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            self.weight_init
+            or nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (x.shape[-1], self.features),
         )
         out = jnp.einsum(
@@ -327,7 +330,8 @@ class Dense(nn.Module):
             preferred_element_type=_pet(x),
         ).astype(x.dtype)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", self.bias_init or nn.initializers.zeros,
+                              (self.features,))
             out = out + bias.astype(out.dtype)
         return out
 

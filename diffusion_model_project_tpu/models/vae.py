@@ -78,7 +78,22 @@ class FiLM(nn.Module):
             condition = condition.astype(jnp.float32)[:, None]
         h = silu(Dense(self.hidden_dim, name="mlp_0")(condition))
         h = silu(Dense(self.hidden_dim, name="mlp_2")(h))
-        params = Dense(2 * self.feature_channels, name="mlp_4")(h)
+        # reference last-layer init (blocks.py:36-40): xavier_uniform with
+        # gain 0.1 (= variance_scaling(gain^2, fan_avg, uniform)) and the
+        # gamma half of the bias at 1.0 — FiLM starts as ~identity. Default
+        # inits start gamma at ~0 and multiplicatively annihilate features.
+        fc = self.feature_channels
+
+        def gamma_one_bias(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.concatenate([jnp.ones((fc,), dtype),
+                                    jnp.zeros((shape[0] - fc,), dtype)])
+
+        params = Dense(
+            2 * fc, name="mlp_4",
+            weight_init=nn.initializers.variance_scaling(
+                0.1 ** 2, "fan_avg", "uniform"),
+            bias_init=gamma_one_bias)(h)
         gamma, beta = jnp.split(params, 2, axis=-1)
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.feature_channels,)
         return gamma.reshape(shape) * x + beta.reshape(shape)
@@ -155,7 +170,15 @@ class Encoder(nn.Module):
         self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pad = get_padding(self.kernel_size)
-        f1, f2, f3 = self.features
+        f1, f2, f3 = validate_features(self.features)
+        if self.conditional and condition is None:
+            # flax creates params lazily at call time: tracing the FiLM-less
+            # path would build a param tree MISSING every film_* subtree, and
+            # a later conditioned apply dies with an opaque
+            # ScopeParamNotFoundError. Fail clearly instead (a conditional
+            # model must always be initialized AND applied with a condition).
+            raise ValueError("conditional=True Encoder requires a condition "
+                             "(including at init)")
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:
@@ -206,7 +229,11 @@ class Decoder(nn.Module):
         self, x: jnp.ndarray, condition: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         pad = get_padding(self.kernel_size)
-        f1, f2, f3 = self.features
+        f1, f2, f3 = validate_features(self.features)
+        if self.conditional and condition is None:
+            # see Encoder: lazy flax params would silently omit film_*
+            raise ValueError("conditional=True Decoder requires a condition "
+                             "(including at init)")
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:

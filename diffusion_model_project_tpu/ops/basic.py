@@ -95,7 +95,7 @@ def group_norm(
     # subtract-then-scale: x*scale - mean*scale cancels catastrophically when
     # |mean| >> std (both products ~|mean|*scale with ulp >> 1)
     scale = jax.lax.rsqrt(var + eps)[:, None, :, None]
-    out = (xg.astype(jnp.float32) - mean[:, None, :, None]) * scale
+    out = (xf - mean[:, None, :, None]) * scale
     out = out.reshape(b, *spatial, c)
     out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(orig_dtype)

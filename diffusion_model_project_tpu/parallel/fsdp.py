@@ -28,7 +28,6 @@ the virtual 8-device mesh.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
@@ -70,14 +69,8 @@ def shard_params_fsdp(params: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 def shard_predictor_fsdp(pred, mesh: Mesh, axis: str = "data"):
     """Predictor with UNet+VAE params fully sharded over ``mesh[axis]``;
-    every other leaf (scheduler tables, normalizer) replicated.
+    every other leaf (scheduler tables, normalizer) replicated
+    (parallel.mesh.shard_predictor_params)."""
+    from .mesh import shard_predictor_params
 
-    Params go from their source placement straight to the sharded layout —
-    replicating them first would transiently hold a full copy per chip,
-    the exact peak this sharding exists to avoid."""
-    replicated = NamedSharding(mesh, P())
-    unet = shard_params_fsdp(pred.unet_params, mesh, axis)
-    vae = shard_params_fsdp(pred.vae_params, mesh, axis)
-    small = dataclasses.replace(pred, unet_params=None, vae_params=None)
-    small = jtu.tree_map(lambda x: jax.device_put(x, replicated), small)
-    return dataclasses.replace(small, unet_params=unet, vae_params=vae)
+    return shard_predictor_params(pred, mesh, shard_params_fsdp, axis)

@@ -85,3 +85,24 @@ def maybe_shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
               f"slower step). Pad the dataset or pick a batch size divisible "
               f"by the mesh.")
     return batch
+
+
+def shard_predictor_params(pred, mesh: Mesh, shard_params, axis: str):
+    """Predictor with UNet+VAE params placed by ``shard_params(params, mesh,
+    axis)`` and every other leaf (scheduler tables, normalizer) replicated.
+
+    Shared by the tensor-parallel (tp.py) and FSDP (fsdp.py) entry points —
+    they differ only in the per-leaf PartitionSpec rule. Params go from
+    their source placement straight to the sharded layout: replicating them
+    first would transiently hold a full copy per chip, the exact peak these
+    shardings exist to avoid.
+    """
+    import dataclasses
+
+    replicated = NamedSharding(mesh, P())
+    unet = shard_params(pred.unet_params, mesh, axis)
+    vae = shard_params(pred.vae_params, mesh, axis)
+    small = dataclasses.replace(pred, unet_params=None, vae_params=None)
+    small = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated), small)
+    return dataclasses.replace(small, unet_params=unet, vae_params=vae)

@@ -26,7 +26,6 @@ layout kept for checkpoint parity), dense ``(in, out)``.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
@@ -95,13 +94,8 @@ def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model") -> Any:
 
 def shard_predictor_tp(pred, mesh: Mesh, axis: str = "model"):
     """Predictor with UNet+VAE params tensor-parallel over ``mesh[axis]``;
-    every other leaf (scheduler tables, normalizer) replicated.
+    every other leaf (scheduler tables, normalizer) replicated
+    (parallel.mesh.shard_predictor_params)."""
+    from .mesh import shard_predictor_params
 
-    Params go straight to their sharded layout (no transient replicated
-    copy — that per-chip peak is what model parallelism exists to avoid)."""
-    replicated = NamedSharding(mesh, P())
-    unet = shard_params_tp(pred.unet_params, mesh, axis)
-    vae = shard_params_tp(pred.vae_params, mesh, axis)
-    small = dataclasses.replace(pred, unet_params=None, vae_params=None)
-    small = jtu.tree_map(lambda x: jax.device_put(x, replicated), small)
-    return dataclasses.replace(small, unet_params=unet, vae_params=vae)
+    return shard_predictor_params(pred, mesh, shard_params_tp, axis)

@@ -168,3 +168,41 @@ def test_sinusoidal_embedding_parity(torch_seed):
     ours = np.asarray(sinusoidal_time_embedding(jnp.asarray(t.numpy()), 64))
     # sin/cos of large args differ ~6e-5 between XLA and torch float32 kernels
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_film_init_is_identity_like_reference():
+    """Reference FiLM last-layer init (blocks.py:36-40): xavier gain 0.1
+    weights, gamma-bias 1.0 — FiLM starts as ~identity. Default inits start
+    gamma at ~0 and multiplicatively annihilate conditioned features."""
+    from diffusion_model_project_tpu.models.vae import FiLM
+
+    m = FiLM(feature_channels=64)
+    x = jnp.ones((2, 3, 8, 8, 64))
+    cond = jnp.asarray([0.0, 1.0])
+    params = m.init(jax.random.key(0), x, cond)
+    out = m.apply(params, x, cond)
+    # gamma ~ 1, beta ~ 0 at init -> output ~ input (small xavier-0.1 noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.2)
+    assert abs(float(np.mean(out)) - 1.0) < 0.05
+
+    # weight bound matches torch xavier_uniform(gain=0.1) on the same fan
+    w = np.asarray(params["params"]["mlp_4"]["weight"])  # (in, out)
+    t = torch.empty(w.shape[1], w.shape[0])  # torch Linear (out, in)
+    torch.nn.init.xavier_uniform_(t, gain=0.1)
+    ours, theirs = np.abs(w).max(), t.abs().max().item()
+    assert abs(ours - theirs) / theirs < 0.05, (ours, theirs)
+    b = np.asarray(params["params"]["mlp_4"]["bias"])
+    assert (b[:64] == 1.0).all() and (b[64:] == 0.0).all()
+
+
+def test_conditional_vae_requires_condition():
+    """conditional=True with condition=None must fail loudly at init/apply:
+    flax's lazy params would otherwise build a tree missing every film_*
+    subtree and die later with an opaque ScopeParamNotFoundError."""
+    enc = Encoder(out_channels=4, conditional=True, features=(32, 32, 32))
+    x = jnp.zeros((1, 3, 3, 16, 16)).transpose(0, 2, 3, 4, 1)  # channels-last
+    with pytest.raises(ValueError, match="condition"):
+        enc.init(jax.random.key(0), x)
+    # and WITH a condition everything initializes, film params included
+    params = enc.init(jax.random.key(0), x, jnp.asarray([1.0]))
+    assert "film_in" in params["params"]
