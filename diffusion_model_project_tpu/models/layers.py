@@ -350,7 +350,14 @@ class MultiheadSelfAttention(nn.Module):
         e = x.shape[-1]
         w_qkv = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (e, 3 * e))
         b_qkv = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
-        w_out = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e))
+        # torch MHA._reset_parameters xavier-inits ONLY in_proj_weight and
+        # zeroes both biases; out_proj.weight keeps the Linear default
+        # kaiming_uniform(a=sqrt(5)) = uniform(+-sqrt(1/E)) — xavier here
+        # would start the from-scratch attention output path ~1.7x too wide
+        w_out = self.param(
+            "out_proj_weight",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (e, e))
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (e,))
         if PALLAS_ATTENTION:
             from ..ops.pallas import fused_attention

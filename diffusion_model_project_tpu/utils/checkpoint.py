@@ -53,32 +53,49 @@ def save_predictor(predictor, path: str, writer=None) -> None:
         return writer.submit(path, device_snapshot(state))
     from flax import serialization
 
-    state = jax.tree_util.tree_map(np.asarray, state)
-    # atomic like every other checkpoint write: a kill mid-write must leave
-    # the previous complete file, never a truncated one
+    _atomic_write_msgpack(path, state)
+
+
+def _atomic_write_msgpack(path: str, tree) -> None:
+    """Serialize + write with a pid-suffixed temp and os.replace: a kill
+    mid-write must leave the previous complete file, and two processes
+    writing the same run dir (the crash-safe CV/optimize searchers) must
+    never truncate each other's in-flight temp file."""
     import os
 
+    from flax import serialization
+
+    tree = jax.tree_util.tree_map(np.asarray, tree)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(serialization.msgpack_serialize(state))
+        f.write(serialization.msgpack_serialize(tree))
     os.replace(tmp, path)
 
 
 def _check_param_structure(expected, got, what: str) -> None:
-    """torch-style strict state-dict check: missing/unexpected keys raise at
-    load time (reference load_state_dict strict=True), instead of surfacing
-    later as a flax apply error."""
-    def paths(tree):
+    """torch-style strict state-dict check: missing/unexpected keys AND
+    shape mismatches raise at load time (reference load_state_dict
+    strict=True reports both), instead of surfacing later as a flax apply
+    scope error deep inside the first step."""
+    def leaves(tree):
         flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-        return {jax.tree_util.keystr(p) for p, _ in flat}
+        return {jax.tree_util.keystr(p): np.shape(v) for p, v in flat}
 
-    exp, act = paths(expected), paths(got)
-    missing, unexpected = sorted(exp - act), sorted(act - exp)
+    exp, act = leaves(expected), leaves(got)
+    missing = sorted(set(exp) - set(act))
+    unexpected = sorted(set(act) - set(exp))
     if missing or unexpected:
         raise ValueError(
             f"{what}: state dict does not match the model. "
             f"Missing key(s): {missing[:8]}{'...' if len(missing) > 8 else ''}; "
             f"unexpected key(s): {unexpected[:8]}{'...' if len(unexpected) > 8 else ''}")
+    bad = [f"{k}: expected {exp[k]}, got {act[k]}"
+           for k in sorted(exp) if exp[k] != act[k]]
+    if bad:
+        raise ValueError(
+            f"{what}: state dict shapes do not match the model (resuming "
+            f"with different model-shaping flags?). "
+            f"{'; '.join(bad[:8])}{'...' if len(bad) > 8 else ''}")
 
 
 def load_predictor_state(predictor, path: str):
@@ -89,6 +106,12 @@ def load_predictor_state(predictor, path: str):
         state = serialization.msgpack_restore(f.read())
     _check_param_structure(predictor.unet_params, state["unet_params"],
                            f"unet_params from {path}")
+    # the VAE branch needs the same strict check: flax apply silently
+    # IGNORES extra params (e.g. film_* from a conditional-VAE import), so a
+    # structurally wrong tree would decode without the modulation it was
+    # trained with — silent wrongness on exactly the eval/EMA path
+    _check_param_structure(predictor.vae_params, state["vae_params"],
+                           f"vae_params from {path}")
     return dataclasses.replace(
         predictor,
         unet_params=state["unet_params"],
@@ -132,10 +155,25 @@ def load_dual_vae_from_paths(
     (this framework) or reference .pt.
 
     Returns (vae_params, norm_factors, flavor). Mirrors predictor.py:342-599.
+
+    A single split path falls back to ``vae_path`` for the missing side
+    (reference predictor.py:480-481); if ``vae_path`` is also absent that is
+    the reference's line-343 ValueError. One deliberate deviation: the
+    reference reaches its fallback only when the ``vae_path`` checkpoint is
+    detected as dual and otherwise IGNORES an explicitly passed split path —
+    we always honor an explicit path (silently dropping a user-given
+    checkpoint path is the failure mode, not a behavior to keep).
     """
     norm_factors = None
 
-    if vae_encoder_path is not None and vae_decoder_path is not None:
+    if vae_encoder_path is not None or vae_decoder_path is not None:
+        if (vae_encoder_path is None or vae_decoder_path is None) \
+                and vae_path is None:
+            raise ValueError(
+                "VAE path must be provided for latent diffusion, or both "
+                "encoder and decoder paths must be specified")
+        vae_encoder_path = vae_encoder_path or vae_path
+        vae_decoder_path = vae_decoder_path or vae_path
         decoder_log = osp.join(vae_decoder_path, "vae_log.json")
         if osp.exists(decoder_log):
             with open(decoder_log) as f:
@@ -288,9 +326,12 @@ def build_predictor(
 
     vae_params = None
     norm_factors = None
+    # ANY VAE path present enters the loader, which applies the reference's
+    # either-or validation (a lone split path without vae_path raises there
+    # instead of silently initializing a RANDOM VAE)
     if (predictor_kwargs.get("vae_path")
-            or (predictor_kwargs.get("vae_encoder_path")
-                and predictor_kwargs.get("vae_decoder_path"))):
+            or predictor_kwargs.get("vae_encoder_path")
+            or predictor_kwargs.get("vae_decoder_path")):
         vae_params, norm_factors, _ = load_dual_vae_from_paths(
             predictor_kwargs.get("vae_path"),
             predictor_kwargs.get("vae_encoder_path"),
@@ -383,12 +424,7 @@ def save_train_state(path: str, predictor, opt_state, epoch: int,
         from .async_ckpt import device_snapshot
 
         return writer.submit(path, device_snapshot(state))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.msgpack_serialize(
-            jax.tree_util.tree_map(np.asarray, state)))
-    import os
-    os.replace(tmp, path)
+    _atomic_write_msgpack(path, state)
 
 
 def load_train_state(path: str, predictor, opt_state):

@@ -151,7 +151,14 @@ def _conv(sd: StateDict, key: str, *, transpose2d: bool = False) -> dict:
         out = {"weight": _conv3d_w(w)}
     elif w.ndim == 4:
         out = {"weight": _conv2d_w(w)}
-    elif w.ndim == 3:  # Conv1d k=1
+    elif w.ndim == 3:  # Conv1d k=1 imports as a Linear
+        if w.shape[-1] != 1:
+            # w[..., 0] would silently drop the other k-1 taps and load a
+            # numerically wrong model — no current reference module has a
+            # k>1 Conv1d, so loud is the only correct answer
+            raise ValueError(
+                f"Conv1d weight for {key} has kernel_size {w.shape[-1]}; "
+                f"only k=1 Conv1d (Linear-equivalent) import is supported")
         out = {"weight": _linear_w(w[..., 0])}
     else:
         raise ValueError(f"Unexpected conv weight rank for {key}: {w.shape}")

@@ -207,3 +207,40 @@ def test_fsdp_cli_training(shared_data_dir, shared_stage1_dir,
     log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
     assert np.isfinite(log["train_loss"]).all()
     assert np.isfinite(log["val_loss"]).all()
+
+
+def test_train_state_load_rejects_shape_mismatch(tmp_path):
+    """Resuming with width-changing flags (same tree structure, different
+    array shapes) must fail at load with a shape message — torch strict=True
+    semantics — not later as an opaque flax scope error mid-step."""
+    import jax
+    import pytest
+    from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+    from diffusion_model_project_tpu.training.train_diffusion import make_optimizer
+    from diffusion_model_project_tpu.utils.checkpoint import (
+        load_train_state, save_train_state, load_predictor_state,
+        save_predictor)
+
+    kw = dict(in_channels=9, out_channels=4, kernel_size=3,
+              padding_mode="zeros", activation="silu", final_activation=None,
+              attention="", dropout=0.0, time_embedding_dim=16)
+    mk = lambda feats, vf: LatentDiffusionPredictor.create(
+        dict(kw, features=feats), rng=jax.random.key(0), num_slices=3,
+        num_timesteps=20, image_hw=(32, 32), vae_features=vf)
+    pred = mk((8, 16), (32, 32, 32))
+    opt = make_optimizer(1e-3, 0.01)
+    opt_state = opt.init(pred.unet_params)
+    path = str(tmp_path / "train_state.msgpack")
+    save_train_state(path, pred, opt_state, epoch=1, best_loss=1.0)
+
+    wide = mk((16, 32), (32, 32, 32))
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(path, wide, opt.init(wide.unet_params))
+
+    # the VAE branch is checked too (flax apply silently tolerates extra or
+    # mis-shaped params; load must not)
+    mpath = str(tmp_path / "model.msgpack")
+    save_predictor(pred, mpath)
+    vae_mismatch = mk((8, 16), (64, 64, 64))
+    with pytest.raises(ValueError, match="vae_params"):
+        load_predictor_state(vae_mismatch, mpath)

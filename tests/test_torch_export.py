@@ -222,3 +222,45 @@ def test_mixed_format_split_vae_load(tmp_path, shared_stage1_dir, shared_stage2_
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_split_path_falls_back_to_vae_path(shared_stage1_dir, shared_stage2_dir):
+    """A single split path + --vae-path: the missing side falls back to
+    vae_path (reference predictor.py:480-481) — before the fix the split
+    path was silently IGNORED and every branch loaded from vae_path."""
+    from diffusion_model_project_tpu.utils.checkpoint import load_dual_vae_from_paths
+
+    full, _, flavor_full = load_dual_vae_from_paths(
+        vae_encoder_path=shared_stage2_dir, vae_decoder_path=shared_stage1_dir)
+    fb, _, flavor_fb = load_dual_vae_from_paths(
+        vae_path=shared_stage1_dir, vae_encoder_path=shared_stage2_dir)
+    assert flavor_fb == flavor_full == "dual_split_native"
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        full, fb)
+
+
+def test_lone_split_path_without_vae_path_raises(shared_stage2_dir):
+    """Reference predictor.py:343: vae_path None + an incomplete split pair
+    raises — before the fix build_predictor silently initialized a RANDOM
+    VAE and trained/evaled in a garbage latent space."""
+    from diffusion_model_project_tpu.utils.checkpoint import (
+        build_predictor, load_dual_vae_from_paths)
+
+    with pytest.raises(ValueError, match="must be provided"):
+        load_dual_vae_from_paths(vae_encoder_path=shared_stage2_dir)
+    with pytest.raises(ValueError, match="must be provided"):
+        build_predictor({"model_kwargs": dict(UNET_KW),
+                         "vae_encoder_path": shared_stage2_dir,
+                         "num_slices": S, "num_timesteps": T})
+
+
+def test_conv1d_import_rejects_wide_kernels():
+    """_conv's rank-3 (Conv1d) branch only supports k=1; w[..., 0] on a k>1
+    kernel would silently drop taps and load a numerically wrong model."""
+    sd = {"c.weight": np.zeros((4, 4, 3), np.float32),
+          "c1.weight": np.zeros((4, 4, 1), np.float32)}
+    with pytest.raises(ValueError, match="kernel_size"):
+        ti._conv(sd, "c")
+    out = ti._conv(sd, "c1")  # k=1 still imports as a Linear
+    assert out["weight"].shape == (4, 4)
