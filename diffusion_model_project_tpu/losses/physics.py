@@ -224,13 +224,17 @@ def reconstruct_velocity_from_noise_pred(
     b, s = img.shape[0], img.shape[1]
     lh, lw = x_t.shape[1], x_t.shape[2]
     c = x_t.shape[-1]
+    # latent depth from the tensor itself (b*ld rows), like the reference's
+    # explicit latent_depth arg (physics.py:602-673) — reshaping with s would
+    # fail whenever vae_depth_factor > 1 compresses depth
+    ld = x_t.shape[0] // b
     sched = predictor.scheduler
 
     sac = jnp.maximum(sched.sqrt_alphas_cumprod[t], 0.0)[:, None, None, None]
     somac = sched.sqrt_one_minus_alphas_cumprod[t][:, None, None, None]
     x0_pred = (x_t - somac * noise_pred) / (sac + 1e-8)
 
-    z = x0_pred.reshape(b, s, lh, lw, c)
+    z = x0_pred.reshape(b, ld, lh, lw, c)
 
     # per-block rematerialized decoder: gradients flow through the frozen D3D
     # to x0_pred, but each residual block's activations are recomputed during
@@ -238,9 +242,14 @@ def reconstruct_velocity_from_noise_pred(
     # HBM) — the TPU-native replacement for the reference's del/empty_cache
     # dance (helper.py:437-446). Same params, remat-enabled module def.
     vae_remat = dataclasses.replace(predictor.vae, remat_decoders=True)
+    # decode at the predictor's compute dtype like every other VAE call
+    # (prepare_conditioning, encode_target, _decode_and_finish): otherwise a
+    # bf16-configured training run silently pays a float32 decode (+backward)
+    # in its hottest loss path
     vel = vae_remat.apply(
         {"params": jax.lax.stop_gradient(predictor.vae_params)},
-        z, method="decode_3d")  # (B, S, H, W, 3) channels-last
+        z.astype(predictor._cdtype), method="decode_3d")
+    vel = vel.astype(jnp.float32)  # (B, S, H, W, 3) channels-last
     vel = predictor.norm_output.inverse(vel, channel_axis=-1)
     h, w = img.shape[-2], img.shape[-1]
     if vel.shape[1] != s or vel.shape[2] != h or vel.shape[3] != w:

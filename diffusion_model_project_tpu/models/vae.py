@@ -82,6 +82,9 @@ class FiLM(nn.Module):
         # gain 0.1 (= variance_scaling(gain^2, fan_avg, uniform)) and the
         # gamma half of the bias at 1.0 — FiLM starts as ~identity. Default
         # inits start gamma at ~0 and multiplicatively annihilate features.
+        # (Hidden mlp_0/mlp_2 keep this codebase's zero-bias Dense convention
+        # vs torch's uniform default — loaded-weight parity is unaffected,
+        # from-scratch early dynamics differ negligibly.)
         fc = self.feature_channels
 
         def gamma_one_bias(key, shape, dtype=jnp.float32):
@@ -179,6 +182,10 @@ class Encoder(nn.Module):
             # model must always be initialized AND applied with a condition).
             raise ValueError("conditional=True Encoder requires a condition "
                              "(including at init)")
+        if not self.conditional and condition is not None:
+            # mirror guard: silently dropping a passed condition would train
+            # an unconditioned model and surface only as quality degradation
+            raise ValueError("Encoder got a condition but conditional=False")
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:
@@ -234,6 +241,8 @@ class Decoder(nn.Module):
             # see Encoder: lazy flax params would silently omit film_*
             raise ValueError("conditional=True Decoder requires a condition "
                              "(including at init)")
+        if not self.conditional and condition is not None:
+            raise ValueError("Decoder got a condition but conditional=False")
         cond = condition if self.conditional else None
         res_cls = ConditionalResidualBlock if self.conditional else ResidualBlock
         if self.remat:

@@ -12,15 +12,23 @@ the jitted graph using the exact two-phase separable decomposition:
 Phase 2 is the exact lower-envelope minimization evaluated by brute force in
 x'-blocks — data-independent control flow, so XLA can tile it; for 256²
 microstructures this is ~35 MFLOP/slice, negligible next to one UNet step.
-Output matches scipy exactly for binary inputs (asserted in tests/test_ops.py).
+Output matches scipy exactly for binary inputs with at least one zero pixel
+(asserted in tests/test_ops.py); for the degenerate all-nonzero image —
+where scipy's result is undefined behavior — we return the finite geometric
+bound hypot(H, W) instead (see distance_transform_edt).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_BIG = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-level jnp constant would initialize the JAX
+# backend at import time — before CLIs can select --device, which makes every
+# `--device cpu` subprocess dial the TPU plugin (and hang whenever the axon
+# tunnel flakes, observed wedging the test suite mid-run).
+_BIG = np.float32(1e9)
 
 
 def _column_distance(solid: jnp.ndarray) -> jnp.ndarray:
@@ -67,4 +75,12 @@ def distance_transform_edt(img: jnp.ndarray, block: int = 64) -> jnp.ndarray:
 
     blocks = lax.map(one_block, xs.reshape(n_blocks, block))
     d2 = jnp.moveaxis(blocks, 0, 2).reshape(b, h, w)
-    return jnp.sqrt(d2)
+    # degenerate all-fluid image (no zero pixel anywhere): real distances are
+    # always <= hypot(h-1, w-1), so this clamp only fires there. scipy's
+    # output for that case is undefined behavior (finite distances to a
+    # virtual zero just outside the border — an artifact of its uninitialized
+    # feature transform); returning the sentinel ~1e9 would flow through
+    # norm_input into the UNet conditioning and silently blow activations up,
+    # so return the same order of magnitude scipy's artifact has: the
+    # geometric upper bound.
+    return jnp.minimum(jnp.sqrt(d2), np.hypot(h, w))

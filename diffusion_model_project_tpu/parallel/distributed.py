@@ -11,17 +11,25 @@ Verified without real multi-host hardware by launching N local processes of
 2 virtual CPU devices each against a localhost coordinator
 (tests/test_distributed.py) — the same code path a real v5e pod slice runs.
 
-Batch placement: each process loads only ITS shard of the global batch (a
-host can't hold remote-device data); ``global_batch_from_local`` assembles
-the global jax.Array from per-process shards via
-``jax.make_array_from_process_local_data``.
+Batch placement — two supported layouts, one per loader discipline:
+
+  - ``global_batch_from_local``: each process loads only ITS rows of the
+    global batch; the global jax.Array is assembled from per-process shards
+    via ``jax.make_array_from_process_local_data``.
+  - ``global_batch_from_replicated``: every process loads the IDENTICAL full
+    global batch (what the production trainers do — their loaders are
+    (seed, epoch)-pure, so every host computes the same batch) and each
+    addressable device picks its own rows. ``parallel.mesh.maybe_shard_batch``
+    dispatches here automatically when ``jax.process_count() > 1``, so the
+    single-host trainer path is multi-host correct without loader changes.
 """
 from __future__ import annotations
 
 import os
-from typing import Any, Mapping, Optional
+from typing import Any, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -61,6 +69,17 @@ def initialize(coordinator: Optional[str] = None,
         raise ValueError(
             f"num_processes={num_processes} given but no process id; pass "
             f"a distinct --process-id (or JAX_PROCESS_ID) on every host.")
+    if (process_id is not None or env_pid is not None) and num_processes <= 1:
+        # the last hole in the fail-fast matrix: a process id ALONE (arg or a
+        # launcher that exports JAX_PROCESS_ID but drops ADDRESS/NUM) would
+        # silently run a full independent single-host training, duplicating
+        # all work and racing the other hosts' run-dir writes
+        pid = process_id if process_id is not None else env_pid
+        raise ValueError(
+            f"process_id={pid} given but num_processes={num_processes} and "
+            f"no coordinator; pass --coordinator host:port and "
+            f"--num-processes (or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES) "
+            f"on every host.")
     if process_id is None:
         process_id = int(env_pid or "0")
     if not coordinator:
@@ -88,14 +107,41 @@ def process_local_slice(global_batch_size: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
-def global_batch_from_local(local_batch: Mapping[str, Any], mesh: Mesh,
+def global_batch_from_local(local_batch: Any, mesh: Mesh,
                             global_batch_size: int, axis: str = "data"):
     """Assemble a batch-sharded global jax.Array pytree from THIS process's
-    local rows (placed on this process's addressable mesh devices)."""
+    local rows (placed on this process's addressable mesh devices).
+
+    Accepts any pytree of arrays (not just flat dicts): every leaf's leading
+    dim is this process's row count; the assembled leaves have leading dim
+    ``global_batch_size``.
+    """
     def _one(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
         global_shape = (global_batch_size,) + tuple(x.shape[1:])
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
-    return {k: _one(v) for k, v in local_batch.items()}
+    return jax.tree_util.tree_map(_one, local_batch)
+
+
+def global_batch_from_replicated(batch: Any, mesh: Mesh, axis: str = "data"):
+    """Assemble batch-sharded global jax.Arrays when EVERY process holds the
+    identical full global batch.
+
+    This is the production trainer contract: the loaders are (seed, epoch)-
+    pure (data/dataset.py set_epoch + fold_in streams,
+    tests/test_deterministic_resume.py), so each host
+    recomputes the same global batch and each addressable device picks out
+    its own rows here — no cross-host data exchange, no assumption jax has
+    to take on faith. Works for ANY mesh layout (``axis`` may be a sub-axis
+    of a data x model mesh) because row selection goes through the sharding's
+    own index map rather than a contiguous per-process slice.
+    """
+    def _one(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            np.shape(x), sharding, lambda idx, x=x: x[idx])
+
+    return jax.tree_util.tree_map(_one, batch)

@@ -74,8 +74,19 @@ def maybe_shard_batch(batch, mesh: Optional[Mesh], axis: str = "data"):
     if not leaves:  # empty pytree: nothing to shard (shard_batch accepts any)
         return batch
     n = mesh.shape[axis]
-    b = leaves[0].shape[0]
-    if b % n == 0:
+    # EVERY leaf's leading dim must divide: a 0-d leaf or one misaligned leaf
+    # would otherwise escape this guard and crash inside device_put instead
+    # of taking the documented warn-and-run-replicated fallback
+    dims = [(l.shape[0] if getattr(l, "ndim", 0) >= 1 else 0) for l in leaves]
+    b = dims[0]
+    if all(d >= 1 and d % n == 0 for d in dims):
+        if jax.process_count() > 1:
+            # multi-host: this host can't device_put onto remote devices.
+            # The trainers' loaders are (seed, epoch)-pure, so every host
+            # holds the identical global batch — assemble the global array
+            # by letting each addressable device pick its rows.
+            from .distributed import global_batch_from_replicated
+            return global_batch_from_replicated(batch, mesh, axis)
         return shard_batch(batch, mesh, axis)
     key = (int(b), int(n))
     if key not in _WARNED_UNSHARDED:
@@ -99,10 +110,8 @@ def shard_predictor_params(pred, mesh: Mesh, shard_params, axis: str):
     """
     import dataclasses
 
-    replicated = NamedSharding(mesh, P())
     unet = shard_params(pred.unet_params, mesh, axis)
     vae = shard_params(pred.vae_params, mesh, axis)
     small = dataclasses.replace(pred, unet_params=None, vae_params=None)
-    small = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, replicated), small)
+    small = replicate(small, mesh)
     return dataclasses.replace(small, unet_params=unet, vae_params=vae)

@@ -208,15 +208,25 @@ def run_epoch(
             for k in _PHYSICS_LOSS_KEYS:
                 if k in aux:
                     phys_components[k] += float(aux[k])
+        # velocity_loss_primary reconstructs velocity EVERY batch (it IS the
+        # primary loss), so the reference accumulates loss_u/v/w every batch
+        # (helper.py:353-355); the aux-velocity variant only on heavy batches
+        # (helper.py:413-415)
+        if heavy or velocity_loss_primary:
             for k in _COMPONENT_KEYS:
                 if k in aux:
                     comp_metrics[k] += float(aux[k])
     avg_train_loss = running_loss / max(num_train, 1)
+    # reference divisor is floor(num/freq) — NOT the true heavy-batch count
+    # ceil(num/freq) (helper.py:455,459); number-for-number log.json and
+    # printed-line comparability wins over statistical niceness
+    n_norm = max(1, num_train // physics_loss_freq) if physics_loss_freq > 0 \
+        else max(1, n_phys)
     for k in phys_components:
-        phys_components[k] /= max(1, n_phys)
+        phys_components[k] /= n_norm
     for k in comp_metrics:
-        comp_metrics[k] /= max(1, n_phys)
-    if use_velocity and n_phys > 0:
+        comp_metrics[k] /= n_norm
+    if use_velocity and (n_phys > 0 or velocity_loss_primary):
         print(f"  Train velocity loss components: u={comp_metrics['loss_u']:.6f}, "
               f"v={comp_metrics['loss_v']:.6f}, w={comp_metrics['loss_w']:.6f}")
 
@@ -246,7 +256,8 @@ def run_epoch(
     if val_phys_count > 0:
         acc = {k: v / val_phys_count for k, v in acc.items()}
 
+    # reference all_metrics = val physics metrics + loss_<physics components>
+    # ONLY (helper.py:555-558): loss_u/v/w are printed above but never logged,
+    # so log.json keeps the exact reference key set
     all_metrics = {**acc, **{f"loss_{k}": v for k, v in phys_components.items()}}
-    if use_velocity:
-        all_metrics.update(comp_metrics)
     return predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics

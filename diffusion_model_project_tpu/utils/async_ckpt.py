@@ -94,6 +94,11 @@ class AsyncCheckpointWriter:
         while True:
             item = self._q.get()
             if item is None:
+                # acknowledge the shutdown sentinel too: an unbalanced get()
+                # leaves unfinished_tasks >= 1 forever and any later q.join()
+                # (second close(), join()-in-finally, the atexit drain after
+                # an explicit close) deadlocks
+                self._q.task_done()
                 return
             path, tree, serialize = item
             try:
@@ -135,7 +140,12 @@ class AsyncCheckpointWriter:
         self._raise_pending()
 
     def close(self) -> None:
-        """Drain, stop the thread, re-raise any failure."""
+        """Drain, stop the thread, re-raise any failure. Idempotent: a second
+        close() (e.g. explicit close followed by a finally-block close) must
+        not enqueue a sentinel no thread will ever acknowledge."""
+        if not self._thread.is_alive():
+            self._raise_pending()
+            return
         self._q.join()
         self._q.put(None)
         self._thread.join()

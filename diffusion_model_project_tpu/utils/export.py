@@ -109,7 +109,11 @@ def export_sampler(
         p = jax.tree_util.tree_unflatten(treedef, leaf_list)
         return _predict(p, img, velocity_2d, noise)
 
-    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype)
+    # jnp.result_type reads the dtype without a device transfer —
+    # jnp.asarray(l).dtype would materialize every host-numpy weight leaf on
+    # device (doubling export peak memory on exactly the too-big-to-bake
+    # models this mode exists for)
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), jnp.result_type(l))
                   for l in leaves]
     exported = jax_export.export(
         jax.jit(sample_args), platforms=tuple(platforms))(
@@ -156,8 +160,24 @@ def load_sampler(blob: bytes):
 
 
 def save_sampler(path: str, pred, **kwargs) -> None:
-    with open(path, "wb") as f:
-        f.write(export_sampler(pred, **kwargs))
+    """Export, then atomically replace ``path``. The export itself takes
+    minutes and can fail (trace OOM, shape mismatch, interrupt); truncating
+    the output first would destroy the previous good artifact and leave a
+    0-byte file that load_sampler_file later fails on opaquely."""
+    import os
+    import tempfile
+
+    blob = export_sampler(pred, **kwargs)
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_sampler_file(path: str):

@@ -113,3 +113,25 @@ def test_device_snapshot_survives_donation(tmp_path):
     got = serialization.msgpack_restore(open(path, "rb").read())
     np.testing.assert_array_equal(got["w"], np.arange(8.0))
     assert got["epoch"] == 4
+
+
+def test_close_is_idempotent_and_join_after_close(tmp_path):
+    """The shutdown sentinel must be task_done()'d: before the fix, a second
+    close() or a join()-after-close() (natural finally-block patterns)
+    deadlocked forever on queue.unfinished_tasks >= 1."""
+    import threading
+
+    w = AsyncCheckpointWriter()
+    w.submit(str(tmp_path / "a.msgpack"), {"x": np.arange(4.0)})
+    done = threading.Event()
+
+    def hammer():
+        w.close()
+        w.join()   # join after close: sentinel must have been acknowledged
+        w.close()  # second close: no stranded sentinel, no dead-thread put
+        done.set()
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "close/join-after-close deadlocked"
+    assert (tmp_path / "a.msgpack").exists()

@@ -163,3 +163,25 @@ def test_profiling_utils():
     assert dt >= 0 and t.steps_per_sec > 0
     with annotate("test-region"):
         pass
+
+
+def test_package_import_initializes_no_jax_backend():
+    """Importing the full package must NOT touch a JAX backend: CLIs select
+    --device AFTER module imports (train.py main), so any import-time device
+    constant initializes every discovered plugin — including the axon TPU
+    tunnel — in `--device cpu` subprocesses, which then hang whenever the
+    tunnel flakes (observed wedging the suite at test_crash_kill). Run in a
+    clean subprocess: the pytest process itself already has backends."""
+    import subprocess
+    import sys
+    code = (
+        "import jax._src.xla_bridge as xb\n"
+        "import diffusion_model_project_tpu.training.train_diffusion\n"
+        "import diffusion_model_project_tpu.training.train_vae_stage1\n"
+        "import diffusion_model_project_tpu.training.train_vae_stage2\n"
+        "import diffusion_model_project_tpu.losses.eval_metrics\n"
+        "import diffusion_model_project_tpu.utils.checkpoint\n"
+        "assert not xb._backends, f'backends inited at import: {list(xb._backends)}'\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO,
+                   timeout=300)

@@ -84,13 +84,22 @@ with mesh:
     # processes present
     compiled = step.lower(pred_r, opt_r, batch, jax.random.key(5)).compile()
     barrier("compiled")
+    # production trainer path: helper._batch_dict -> maybe_shard_batch must
+    # assemble the SAME global array from the identical full global batch
+    # every host holds (no jax take-it-on-faith replication) — prove it by
+    # dispatching the same compiled step on it (no donation in this jit)
+    from diffusion_model_project_tpu.parallel import maybe_shard_batch
+    batch_full = maybe_shard_batch(gbatch, mesh)
+    _, _, aux_p = compiled(pred_r, opt_r, batch_full, jax.random.key(5))
+    probe = float(aux_p["loss"])
     losses = []
     for i in range(2):
         pred_r, opt_r, aux = compiled(pred_r, opt_r, batch, jax.random.key(5))
         losses.append(float(aux["loss"]))
 leaves = jax.tree_util.tree_leaves(pred_r.unet_params)
 checksum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves))
-json.dump({{"losses": losses, "checksum": checksum}}, open(out_path, "w"))
+json.dump({{"losses": losses, "checksum": checksum, "probe": probe}},
+          open(out_path, "w"))
 # results are on disk. Rendezvous with a GENEROUS deadline before shutdown:
 # jax.distributed.shutdown()'s internal barrier has a short fixed timeout,
 # and on a loaded (or 1-core) host the peer may still be compiling minutes
@@ -130,6 +139,45 @@ def test_initialize_rejects_coordinator_without_process_count(monkeypatch):
         initialize_distributed(num_processes=4)
     with pytest.raises(ValueError, match="process id"):
         initialize_distributed("localhost:12345", num_processes=4)
+    # the last hole: a process id ALONE (a launcher exporting JAX_PROCESS_ID
+    # but dropping ADDRESS/NUM) must raise, not silently run an independent
+    # duplicate single-host training
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed(process_id=1)
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed()
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    assert initialize_distributed() is False
+
+
+def test_global_batch_from_replicated_matches_shard_batch():
+    """Single-process equivalence: the multi-host assembly path (every host
+    holds the full global batch, each device picks its rows) must produce
+    arrays identical in value AND sharding to the single-host device_put
+    path — maybe_shard_batch dispatches between them on process_count."""
+    from jax.sharding import PartitionSpec as P
+    from diffusion_model_project_tpu.parallel import (
+        make_mesh, shard_batch, global_batch_from_replicated)
+
+    r = np.random.default_rng(0)
+    batch = {"a": r.standard_normal((16, 3)).astype(np.float32),
+             "b": r.standard_normal((16, 2, 5)).astype(np.float32)}
+
+    mesh = make_mesh(("data",))
+    ref = shard_batch(batch, mesh)
+    got = global_batch_from_replicated(batch, mesh)
+    for k in batch:
+        assert got[k].sharding == ref[k].sharding
+        np.testing.assert_array_equal(np.asarray(got[k]), batch[k])
+
+    # 'data' as a sub-axis of a 2-D data x model mesh: rows replicate over
+    # 'model' and shard over 'data', via the sharding's own index map
+    mesh2 = make_mesh(("data", "model"), (4, 2))
+    got2 = global_batch_from_replicated(batch, mesh2)
+    assert got2["a"].sharding.spec == P("data", None)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(got2[k]), batch[k])
 
 
 def _free_port():
@@ -182,6 +230,9 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     # both processes observe the same global losses and end in the same state
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
     np.testing.assert_allclose(r0["checksum"], r1["checksum"], rtol=1e-6)
+    # the maybe_shard_batch (trainer) assembly of the full global batch is
+    # the SAME program input as the per-process-shard assembly
+    np.testing.assert_allclose(r0["probe"], r0["losses"][0], rtol=1e-6)
 
     # single-process baseline on the SAME global batch (conftest's 8 devices;
     # data-parallel degree differs, psum order may reassociate -> tolerance)

@@ -88,6 +88,30 @@ def test_export_weights_as_arguments_mode():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_save_sampler_is_atomic(tmp_path, monkeypatch):
+    """A failed export (trace OOM, interrupt mid-minutes-long lowering) must
+    not destroy the previous good artifact or leave a 0-byte/temp file."""
+    import pytest
+    from diffusion_model_project_tpu.utils import export as ex
+
+    path = tmp_path / "sampler.stablehlo"
+    path.write_bytes(b"GOOD_ARTIFACT")
+
+    def boom(*a, **k):
+        raise RuntimeError("trace OOM")
+
+    monkeypatch.setattr(ex, "export_sampler", boom)
+    with pytest.raises(RuntimeError, match="trace OOM"):
+        ex.save_sampler(str(path), None)
+    assert path.read_bytes() == b"GOOD_ARTIFACT"
+    assert list(tmp_path.glob("*.tmp")) == []
+
+    monkeypatch.setattr(ex, "export_sampler", lambda *a, **k: b"NEW_ARTIFACT")
+    ex.save_sampler(str(path), None)
+    assert path.read_bytes() == b"NEW_ARTIFACT"
+    assert list(tmp_path.glob("*.tmp")) == []
+
+
 def test_export_rejects_wrong_shapes():
     import pytest
 

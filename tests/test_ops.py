@@ -119,6 +119,25 @@ def test_edt_matches_scipy(rng, shape):
     np.testing.assert_allclose(ours, theirs.astype(np.float32), rtol=1e-5, atol=1e-4)
 
 
+def test_edt_all_fluid_is_finite_bounded():
+    """No solid pixel anywhere: scipy's result is undefined behavior (finite
+    distances to a virtual zero outside the border); ours must NOT return the
+    ~1e9 sentinel — that would flow through norm_input into the UNet
+    conditioning and blow activations up — but the geometric bound hypot(H,W),
+    the same order of magnitude as scipy's artifact."""
+    img = np.ones((2, 16, 24), np.float32)
+    d = np.asarray(distance_transform_edt(jnp.asarray(img)))
+    bound = float(np.hypot(16, 24))
+    assert np.isfinite(d).all()
+    np.testing.assert_allclose(d, bound)
+    # a mixed batch: the degenerate slice clamps, the normal slice is exact
+    img[1, 3, 5] = 0.0
+    d = np.asarray(distance_transform_edt(jnp.asarray(img)))
+    np.testing.assert_allclose(d[0], bound)
+    ref = ndimage.distance_transform_edt(img[1])
+    np.testing.assert_allclose(d[1], ref.astype(np.float32), rtol=1e-5, atol=1e-4)
+
+
 def test_max_normalizer(rng):
     x = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)  # NCHW
     scales = [2.0, 0.5, 4.0]
@@ -267,3 +286,23 @@ def test_linear_resize_rejects_integer_dtypes():
         interpolate_bilinear(jnp.ones((1, 8, 8, 1), jnp.int32), 4, 4)
     with pytest.raises(TypeError, match="floating"):
         interpolate_bilinear(jnp.ones((1, 8, 8, 1), jnp.bool_), 4, 4)
+
+
+def test_mha_init_matches_torch_reset_parameters():
+    """torch MHA._reset_parameters xavier-inits ONLY in_proj_weight and
+    zeroes both biases; out_proj.weight keeps the Linear default
+    kaiming_uniform(a=sqrt(5)) = uniform(+-sqrt(1/E)). Our from-scratch init
+    must match those bounds (loaded checkpoints are unaffected)."""
+    from diffusion_model_project_tpu.models.layers import MultiheadSelfAttention
+
+    e = 64
+    params = MultiheadSelfAttention(num_heads=4).init(
+        jax.random.key(0), jnp.zeros((1, 5, e)))["params"]
+    w_out = np.asarray(params["out_proj_weight"])
+    torch_linear_bound = (1.0 / e) ** 0.5
+    assert np.abs(w_out).max() <= torch_linear_bound + 1e-7
+    # xavier on (E, 3E) has limit sqrt(6/4E) > sqrt(1/E): in_proj stays wider
+    w_in = np.asarray(params["in_proj_weight"])
+    assert np.abs(w_in).max() > torch_linear_bound
+    assert not np.asarray(params["in_proj_bias"]).any()
+    assert not np.asarray(params["out_proj_bias"]).any()
