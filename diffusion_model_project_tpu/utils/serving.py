@@ -1,0 +1,279 @@
+"""Production serving: request micro-batching over the in-process jitted
+pipeline, plus a stdlib HTTP front end.
+
+The reference has no serving story — its deployment path is re-running
+``Inference/inference.py`` once per volume from the shell
+(/root/reference/Inference/inference.py), which pays model load + dispatch
+latency per request and never batches. The AOT StableHLO artifact
+(utils/export.py) is our portability path, but this toolchain executes
+deserialized modules 7-10x slower than in-process jit (PERF.md,
+"Serving-artifact study"), so throughput serving runs the live predictor
+under ``jax.jit`` with a persistent compilation cache. This module is the
+daemon around that recommendation:
+
+- each request is ONE volume (binary microstructure + 2D velocity + seed);
+  a single batcher thread coalesces up to ``max_batch`` queued requests
+  (waiting at most ``max_wait_ms`` after the first arrives) into ONE device
+  dispatch of the fused sampler scan — batch 8 is the measured single-chip
+  throughput sweet spot (PERF.md).
+- partial batches are padded by repeating the last request so the server
+  compiles exactly one batch shape (the same trick as the eval CLI's
+  chunks, scripts/eval_testset_end2end.py::_dispatch); padded outputs are
+  dropped before results are delivered.
+- per-request initial latents are drawn from ``jax.random.key(seed)``
+  exactly like the eval CLI's per-sample noise, so a request's result is
+  independent of which batch it landed in (deterministic samplers only;
+  asserted in tests/test_serving.py).
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SHUTDOWN = object()
+
+
+@dataclass
+class _Request:
+    img: np.ndarray  # (S, 1, H, W) float32, binary microstructure
+    v2d: np.ndarray  # (S, 3, H, W) float32, 2D velocity conditioning
+    seed: int
+    future: Future
+
+
+class InferenceServer:
+    """Micro-batching inference daemon over a LatentDiffusionPredictor.
+
+    ``submit()`` is thread-safe and returns a ``concurrent.futures.Future``
+    resolving to the (S, 3, H, W) channels-first predicted velocity volume
+    (the reference's public-contract layout). ``predict()`` is the blocking
+    convenience wrapper. Only the deterministic samplers are served: a
+    batched DDPM scan shares its per-step ancestral noise stream across the
+    batch, which would make results depend on co-batched requests (the eval
+    CLI refuses ddpm batches for the same reason).
+    """
+
+    def __init__(self, predictor, *, sampler: str = "ddim",
+                 num_steps: int = 50, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        if sampler not in ("ddim", "dpm"):
+            raise ValueError(
+                f"sampler must be ddim|dpm (deterministic given the seeded "
+                f"initial latents), got {sampler!r}")
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        import jax
+
+        self._pred = predictor
+        self.sampler = sampler
+        self.num_steps = int(num_steps)
+        self.max_batch = int(max_batch)
+        self._max_wait_s = float(max_wait_ms) / 1000.0
+        if sampler == "dpm":
+            self._fn = jax.jit(lambda p, i, v, n: p.predict_dpm(
+                i, v, num_steps=self.num_steps, noise=n))
+        else:
+            self._fn = jax.jit(lambda p, i, v, n: p.predict_ddim(
+                i, v, num_steps=self.num_steps, eta=0.0, noise=n))
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._shape: Optional[Tuple[int, int, int]] = None  # (S, H, W)
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
+                       "errors": 0}
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._loop, name="inference-batcher", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, img: np.ndarray, v2d: np.ndarray,
+               seed: int = 0) -> Future:
+        img = np.asarray(img, np.float32)
+        v2d = np.asarray(v2d, np.float32)
+        if img.ndim != 4 or img.shape[1] != 1:
+            raise ValueError(
+                f"img must be (S, 1, H, W) channels-first, got {img.shape}")
+        if v2d.ndim != 4 or v2d.shape[1] != 3:
+            raise ValueError(
+                f"v2d must be (S, 3, H, W) channels-first, got {v2d.shape}")
+        shape = (img.shape[0], img.shape[2], img.shape[3])
+        if (v2d.shape[0], v2d.shape[2], v2d.shape[3]) != shape:
+            raise ValueError(
+                f"img {img.shape} and v2d {v2d.shape} disagree on (S, H, W)")
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("InferenceServer is closed")
+            # one compiled batch shape per server: the first request pins
+            # (S, H, W); a mismatch would silently retrace + recompile
+            # (minutes through the TPU tunnel), so reject it loudly
+            if self._shape is None:
+                self._shape = shape
+            elif shape != self._shape:
+                raise ValueError(
+                    f"request shape (S,H,W)={shape} != the server's pinned "
+                    f"{self._shape}; run one server per volume geometry")
+            self._stats["requests"] += 1
+            # enqueue under the lock: close() also holds it while putting the
+            # shutdown sentinel, so no request can land AFTER the sentinel
+            # (which would leave its future forever unresolved)
+            self._queue.put(_Request(img, v2d, int(seed), fut))
+        return fut
+
+    def predict(self, img: np.ndarray, v2d: np.ndarray,
+                seed: int = 0) -> np.ndarray:
+        return self.submit(img, v2d, seed).result()
+
+    def stats(self) -> dict:
+        with self._lock:
+            return dict(self._stats, queue_depth=self._queue.qsize(),
+                        sampler=self.sampler, num_steps=self.num_steps,
+                        max_batch=self.max_batch)
+
+    def close(self, timeout: Optional[float] = 60.0) -> None:
+        """Stop accepting requests, drain everything queued, join."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_SHUTDOWN)
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # ------------------------------------------------------------ batcher
+
+    def _loop(self) -> None:
+        while True:
+            req = self._queue.get()
+            if req is _SHUTDOWN:
+                return
+            batch = [req]
+            deadline = time.monotonic() + self._max_wait_s
+            stop = False
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._run_batch(batch)
+            if stop:
+                return
+
+    def _run_batch(self, batch) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        true_n = len(batch)
+        padded = batch + [batch[-1]] * (self.max_batch - true_n)
+        try:
+            img = jnp.asarray(np.stack([r.img for r in padded]))
+            v2d = jnp.asarray(np.stack([r.v2d for r in padded]))
+            s, h, w = self._shape
+            # latent geometry: two stride-2 encoder stages -> /4 spatial,
+            # depth shrinks by vae_depth_factor (eval CLI _sample_noise)
+            ld = s // self._pred.vae_depth_factor
+            lh, lw = h // 4, w // 4
+            noise = jnp.stack([
+                jax.random.normal(
+                    jax.random.key(r.seed),
+                    (ld, self._pred.latent_channels, lh, lw))
+                for r in padded])
+            out = np.asarray(self._fn(self._pred, img, v2d, noise))
+        except Exception as exc:  # deliver, don't kill the batcher thread
+            with self._lock:
+                self._stats["errors"] += 1
+            for r in batch:
+                if not r.future.cancelled():
+                    r.future.set_exception(exc)
+            return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["padded_slots"] += self.max_batch - true_n
+        for i, r in enumerate(batch):
+            if not r.future.cancelled():
+                r.future.set_result(out[i])
+
+
+# ------------------------------------------------------------------- HTTP
+
+def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
+                      port: int = 8000):
+    """Wrap an InferenceServer in a stdlib ThreadingHTTPServer.
+
+    Endpoints:
+      GET  /healthz      -> JSON: status + live batching stats
+      POST /v1/predict   -> body: .npz with ``img`` (S,1,H,W), ``v2d``
+                            (S,3,H,W), optional scalar ``seed``;
+                            response: .npz with ``velocity`` (S,3,H,W)
+
+    ThreadingHTTPServer gives one handler thread per connection; concurrent
+    requests therefore overlap in ``submit()`` and coalesce into shared
+    device batches — that is the whole point of the daemon.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet: stats live in /healthz
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: dict) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send_json(404, {"error": "unknown path"})
+            self._send_json(200, {"status": "ok", **server.stats()})
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                return self._send_json(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                with np.load(io.BytesIO(self.rfile.read(length)),
+                             allow_pickle=False) as z:
+                    img, v2d = z["img"], z["v2d"]
+                    seed = int(z["seed"]) if "seed" in z.files else 0
+                fut = server.submit(img, v2d, seed=seed)
+            except (KeyError, ValueError, OSError) as exc:
+                return self._send_json(400, {"error": str(exc)})
+            except RuntimeError as exc:  # server closed
+                return self._send_json(503, {"error": str(exc)})
+            try:
+                velocity = fut.result()
+            except Exception as exc:  # batch dispatch failed
+                return self._send_json(500, {"error": str(exc)})
+            buf = io.BytesIO()
+            np.savez(buf, velocity=velocity)
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)

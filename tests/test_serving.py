@@ -1,0 +1,142 @@
+"""Serving daemon: micro-batching correctness + the HTTP front end.
+
+The contract under test (utils/serving.py): a request's result is identical
+whether it ran alone, co-batched, or as batch padding — per-request seeded
+initial latents (the eval CLI's per-sample noise scheme) make the
+deterministic samplers batch-composition-independent.
+"""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
+from diffusion_model_project_tpu.utils.serving import (
+    InferenceServer, build_http_server)
+
+S, H, W = 3, 32, 32
+STEPS = 4
+
+
+@pytest.fixture(scope="module")
+def pred():
+    kw = dict(in_channels=9, out_channels=4, features=(8, 16), kernel_size=3,
+              padding_mode="zeros", activation="silu", final_activation=None,
+              attention="", dropout=0.0, time_embedding_dim=16)
+    return LatentDiffusionPredictor.create(
+        dict(kw), rng=jax.random.key(0), num_slices=S, num_timesteps=20,
+        distance_transform=True, image_hw=(H, W), vae_features=(32, 32, 32),
+    ).set_normalizer({"input": [1.0], "output": [2.0, 3.0, 4.0]})
+
+
+def _volume(i):
+    r = np.random.default_rng(100 + i)
+    img = (r.random((S, 1, H, W)) > 0.3).astype(np.float32)
+    img[:, :, 0, 0] = 0.0
+    v2d = r.standard_normal((S, 3, H, W)).astype(np.float32)
+    v2d[:, 2] = 0.0
+    return img, v2d
+
+
+def _direct(pred, img, v2d, seed):
+    """Single-sample ground truth: same sampler, same seeded latents."""
+    noise = jax.random.normal(
+        jax.random.key(seed), (S, pred.latent_channels, H // 4, W // 4))
+    out = jax.jit(lambda p, i, v, n: p.predict_ddim(
+        i, v, num_steps=STEPS, eta=0.0, noise=n))(
+        pred, jnp.asarray(img[None]), jnp.asarray(v2d[None]), noise[None])
+    return np.asarray(out)[0]
+
+
+def test_concurrent_requests_coalesce_and_match_direct(pred):
+    volumes = [_volume(i) for i in range(9)]
+    expected = [_direct(pred, img, v2d, seed=i) for i, (img, v2d) in enumerate(volumes)]
+
+    with InferenceServer(pred, sampler="ddim", num_steps=STEPS,
+                         max_batch=4, max_wait_ms=50.0) as server:
+        futs = [server.submit(img, v2d, seed=i)
+                for i, (img, v2d) in enumerate(volumes)]
+        results = [f.result(timeout=300) for f in futs]
+        stats = server.stats()
+
+    assert stats["requests"] == 9
+    # 9 requests over max_batch=4 need >= 3 dispatches; coalescing means
+    # strictly fewer dispatches than requests (the first dispatch compiles,
+    # during which the rest queue up)
+    assert 3 <= stats["batches"] < 9
+    assert stats["errors"] == 0
+    for got, want in zip(results, expected):
+        assert got.shape == (S, 3, H, W)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_single_request_is_padded_not_retraced(pred):
+    img, v2d = _volume(42)
+    with InferenceServer(pred, sampler="ddim", num_steps=STEPS,
+                         max_batch=4, max_wait_ms=1.0) as server:
+        got = server.predict(img, v2d, seed=42)
+        stats = server.stats()
+    assert stats["batches"] == 1
+    assert stats["padded_slots"] == 3  # padded to the one compiled shape
+    np.testing.assert_allclose(got, _direct(pred, img, v2d, seed=42),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_request_validation(pred):
+    img, v2d = _volume(0)
+    with pytest.raises(ValueError, match="ddim|dpm"):
+        InferenceServer(pred, sampler="ddpm")
+    with InferenceServer(pred, num_steps=STEPS, max_batch=2) as server:
+        with pytest.raises(ValueError, match="channels-first"):
+            server.submit(img[:, 0], v2d)  # dropped channel dim
+        with pytest.raises(ValueError, match="disagree"):
+            server.submit(img, v2d[:, :, :16])
+        server.predict(img, v2d, seed=0)  # pins (S, H, W)
+        with pytest.raises(ValueError, match="pinned"):
+            server.submit(img[:2], v2d[:2])
+    with pytest.raises(RuntimeError, match="closed"):
+        server.submit(img, v2d)
+
+
+def test_http_round_trip(pred):
+    img, v2d = _volume(5)
+    expected = _direct(pred, img, v2d, seed=7)
+    server = InferenceServer(pred, sampler="ddim", num_steps=STEPS,
+                             max_batch=2, max_wait_ms=1.0)
+    httpd = build_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, img=img, v2d=v2d, seed=7)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            got = np.load(io.BytesIO(resp.read()))["velocity"]
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["requests"] == 1
+        assert health["sampler"] == "ddim"
+
+        # malformed body -> 400, not a dead handler thread
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=b"not an npz")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad, timeout=60)
+        assert exc_info.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.close()
