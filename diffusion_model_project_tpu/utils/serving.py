@@ -41,6 +41,15 @@ import numpy as np
 _SHUTDOWN = object()
 
 
+class ServerBusy(RuntimeError):
+    """Raised by submit() when the pending queue is at max_pending.
+
+    Backpressure instead of unbounded queueing: every pending request pins
+    its (S,1,H,W)+(S,3,H,W) host arrays, and an unbounded producer outruns
+    the device — the same failure mode the async checkpoint writer hit
+    before its queue was bounded (utils/async_ckpt.py, PERF.md)."""
+
+
 @dataclass
 class _Request:
     img: np.ndarray  # (S, 1, H, W) float32, binary microstructure
@@ -63,7 +72,8 @@ class InferenceServer:
 
     def __init__(self, predictor, *, sampler: str = "ddim",
                  num_steps: int = 50, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 max_pending: Optional[int] = None):
         if sampler not in ("ddim", "dpm"):
             raise ValueError(
                 f"sampler must be ddim|dpm (deterministic given the seeded "
@@ -77,6 +87,11 @@ class InferenceServer:
         self.num_steps = int(num_steps)
         self.max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1000.0
+        if max_pending is not None and max_pending < max_batch:
+            raise ValueError(
+                f"max_pending={max_pending} < max_batch={max_batch} could "
+                f"never fill a batch")
+        self._max_pending = max_pending
         if sampler == "dpm":
             self._fn = jax.jit(lambda p, i, v, n: p.predict_dpm(
                 i, v, num_steps=self.num_steps, noise=n))
@@ -88,7 +103,7 @@ class InferenceServer:
         self._lock = threading.Lock()
         self._shape: Optional[Tuple[int, int, int]] = None  # (S, H, W)
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
-                       "errors": 0}
+                       "errors": 0, "rejected": 0}
         self._closed = False
         self._thread = threading.Thread(
             target=self._loop, name="inference-batcher", daemon=True)
@@ -114,6 +129,12 @@ class InferenceServer:
         with self._lock:
             if self._closed:
                 raise RuntimeError("InferenceServer is closed")
+            if (self._max_pending is not None
+                    and self._queue.qsize() >= self._max_pending):
+                self._stats["rejected"] += 1
+                raise ServerBusy(
+                    f"{self._queue.qsize()} requests pending "
+                    f"(max_pending={self._max_pending}); retry later")
             # one compiled batch shape per server: the first request pins
             # (S, H, W); a mismatch would silently retrace + recompile
             # (minutes through the TPU tunnel), so reject it loudly
@@ -266,6 +287,8 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 fut = server.submit(img, v2d, seed=seed)
             except (KeyError, ValueError, OSError) as exc:
                 return self._send_json(400, {"error": str(exc)})
+            except ServerBusy as exc:  # bounded queue full -> backpressure
+                return self._send_json(429, {"error": str(exc)})
             except RuntimeError as exc:  # server closed
                 return self._send_json(503, {"error": str(exc)})
             try:

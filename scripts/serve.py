@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=20.0,
                    help="How long the batcher waits to fill a batch after "
                         "the first request arrives")
+    p.add_argument("--max-pending", type=int, default=64,
+                   help="Bound on queued requests; beyond it submits get "
+                        "HTTP 429 (backpressure, not unbounded memory)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--int8", action="store_true",
                    help="int8 frozen-VAE fast path (~1.4e-3 rel MSE vs f32)")
@@ -80,7 +83,8 @@ def main(argv=None):
 
     server = InferenceServer(
         predictor, sampler=args.sampler, num_steps=args.steps,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_pending=args.max_pending)
     httpd = build_http_server(server, host=args.host, port=args.port)
 
     def _shutdown(signum, frame):

@@ -8,6 +8,7 @@ deterministic samplers batch-composition-independent.
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
 from diffusion_model_project_tpu.utils.serving import (
-    InferenceServer, build_http_server)
+    InferenceServer, ServerBusy, build_http_server)
 
 S, H, W = 3, 32, 32
 STEPS = 4
@@ -102,6 +103,34 @@ def test_request_validation(pred):
             server.submit(img[:2], v2d[:2])
     with pytest.raises(RuntimeError, match="closed"):
         server.submit(img, v2d)
+
+
+def test_backpressure_bounded_queue(pred):
+    img, v2d = _volume(9)
+    with pytest.raises(ValueError, match="max_pending"):
+        InferenceServer(pred, max_batch=4, max_pending=2)
+    with InferenceServer(pred, num_steps=STEPS, max_batch=1,
+                         max_wait_ms=0.0, max_pending=2) as server:
+        # stub the dispatch so the batcher is deterministically busy while
+        # the queue fills (the real fn's compile time would be a race)
+        gate = threading.Event()
+
+        def slow_fn(p, i, v, n):
+            gate.wait(timeout=60)
+            return np.zeros((1, S, 3, H, W), np.float32)
+
+        server._fn = slow_fn
+        futs = [server.submit(img, v2d, seed=0)]   # dequeued -> in flight
+        time.sleep(0.2)                            # batcher now blocked in gate
+        futs += [server.submit(img, v2d, seed=i) for i in (1, 2)]  # fills queue
+        with pytest.raises(ServerBusy, match="retry later"):
+            server.submit(img, v2d, seed=3)
+        assert server.stats()["rejected"] == 1
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=60).shape == (S, 3, H, W)
+    # accepted requests all completed; only the overflow was rejected
+    assert server.stats()["requests"] == 3
 
 
 def test_http_round_trip(pred):
