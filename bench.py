@@ -12,7 +12,9 @@ Prints ONE JSON line:
 vs_baseline: the reference publishes no samples/sec (BASELINE.md). R is
 measured throughput divided by an ESTIMATED reference A100 throughput derived
 from the compiled FLOP count at 35% assumed A100 TF32 utilization (~55 TFLOP/s
-effective) — the north-star target is R >= 10.
+effective) — the north-star target is R >= 10. Sensitivity: at 50% assumed
+utilization the denominator is 2.6 vol/s (scale R by 0.70); at 70%, 3.6 vol/s
+(scale by 0.50) — see PERF.md "A100-estimate sensitivity" for the table.
 
 Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_DTYPE, BENCH_PALLAS;
 BENCH_MODE=train reports diffusion training-step throughput instead
@@ -20,14 +22,25 @@ BENCH_MODE=train reports diffusion training-step throughput instead
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Repo-local persistent compile cache: survives between the builder session
+# that pre-warms it and the driver's capture run (a /tmp default did not —
+# round-2's driver capture timed out on a cold cache at nproc=1, VERDICT r2).
+_REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+# The JAX_COMPILATION_CACHE_DIR env var is IGNORED in this environment (same
+# trap as JAX_PLATFORMS, CLAUDE.md) — only config.update enables the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor  # noqa: E402
 
@@ -89,6 +102,8 @@ def bench_train():
 def main():
     if os.environ.get("BENCH_MODE", "infer") == "train":
         return bench_train()
+    print(f"[bench] devices={jax.devices()} — building predictor (jitted init)",
+          file=sys.stderr, flush=True)
     pred = LatentDiffusionPredictor.create(
         dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=S,
         num_timesteps=1000, distance_transform=True, image_hw=(H, W),
@@ -140,11 +155,20 @@ def main():
             return pred.predict_dpm(img, v2d, num_steps=DDIM_STEPS, rng=rng)
         return pred.predict_ddim(img, v2d, num_steps=DDIM_STEPS, eta=0.0, rng=rng)
 
-    # warmup / compile
+    # warmup / compile — announce progress on stderr (stdout stays one JSON
+    # line) so a driver watching the process sees liveness during the first
+    # cold compile, which can take minutes at nproc=1 through the TPU tunnel.
+    print(
+        f"[bench] compiling e2e {sampler}-{DDIM_STEPS} B={BATCH} "
+        f"(cache: {os.environ['JAX_COMPILATION_CACHE_DIR']}, "
+        f"nproc={os.cpu_count()}) ...", file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
     out = jax.block_until_ready(e2e(pred, img, v2d, jax.random.key(1)))
+    print(f"[bench] compile+warmup done in {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
     assert bool(jnp.isfinite(out).all()), "non-finite output"
 
-    n_iters = 5
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = e2e(pred, img, v2d, jax.random.key(i))

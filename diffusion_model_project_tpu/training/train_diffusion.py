@@ -8,16 +8,17 @@ checkpoint, and modes train / CV (k-fold) / optimize.
 Differences, TPU-native:
   - weights are saved as flax msgpack (model.msgpack); log.json schema is
     unchanged so reference plot scripts work
-  - 'optimize' uses a built-in log-uniform random search with the same search
-    space as the reference's Optuna objective (train.py:285-332) because
-    optuna is not available in this environment; results go to study.json
+  - 'optimize' uses a built-in TPE sampler (training/tpe.py — Optuna's
+    default TPESampler semantics) over the same search space as the
+    reference's Optuna objective (train.py:285-332), with --search-algo
+    random as the rounds-1/2 log-uniform fallback; optuna is not available
+    in this environment; results go to study.json
 """
 from __future__ import annotations
 
 import json
 import math
 import os.path as osp
-import random as pyrandom
 import time
 from typing import NamedTuple, Optional
 
@@ -500,20 +501,29 @@ class MedianPruner:
 
 def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
              n_startup_trials: int = 5, should_stop=None):
-    """Random-search replacement for the reference Optuna mode; same search
-    space (batch, odd kernel, levels -> feature stack, log-uniform lr) and the
-    same median-rule pruning contract as the reference study's default pruner.
+    """TPE replacement for the reference Optuna mode (the reference's
+    default sampler IS TPESampler): same search space (batch, odd kernel,
+    levels -> feature stack, log-uniform lr), same median-rule pruning
+    contract as the study's default pruner, and an independent-Parzen TPE
+    (training/tpe.py; ``--search-algo random`` keeps the old random search).
     ``should_stop`` stops the study at the next trial boundary (the running
     trial stops within one step via train()'s own handling and is NOT
     recorded — only fully trained trials enter study.json).
 
     Crash-safe: a restarted study reloads study.json (the reference's Optuna
     SQLite storage resumes at trial granularity the same way, train.py:376-390),
-    replays the trial-parameter RNG stream over the recorded trials so every
-    trial's hyperparameters stay deterministic, re-feeds the pruner the
-    recorded trials' intermediate values, and resumes an interrupted trial
-    in place from its run dir's train_state.msgpack."""
-    rng = pyrandom.Random(2024)
+    skips recorded trials (their params live in study.json; any retried draw
+    is a pure function of (seed, trial_idx, recorded history) — tpe.py),
+    re-feeds the pruner the recorded trials' intermediate values, and resumes
+    an interrupted trial in place from its run dir's train_state.msgpack."""
+    from .tpe import RandomSampler, TPESampler, diffusion_search_space
+
+    space = diffusion_search_space(args)
+    algo = getattr(args, "search_algo", "tpe") or "tpe"
+    if algo == "random":
+        sampler = RandomSampler(space, seed=2024)
+    else:
+        sampler = TPESampler(space, seed=2024)
     n_trials = n_trials or args.n_trials
     study_path = osp.join(args.save_dir, "study.json")
     results = []
@@ -540,25 +550,25 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
         print(f"{legacy} recorded trials predate intermediate-value "
               f"persistence; pruning medians rebuild from new trials only")
 
+    history = [(r["params"], r["value"]) for r in results]
     for trial_idx in range(n_trials):
         if should_stop is not None and should_stop():
             print(f"Study preempted after {trial_idx} recorded trials; "
                   f"{study_path} is current.", flush=True)
             break
-        args.batch_size = rng.randint(*args.range_batch_size)
-        args.kernel_size = rng.randrange(
-            args.range_kernel_size[0], args.range_kernel_size[1] + 1, 2)
-        levels = rng.randint(*args.range_level)
+        if trial_idx < len(results):
+            continue  # already recorded; its params live in study.json and
+            #           feed the sampler through `history`
+        params = sampler.suggest(trial_idx, history)
+        args.batch_size = int(params["batch_size"])
+        args.kernel_size = int(params["kernel_size"])
+        levels = int(params["levels"])
         factors = [2 ** v for v in range(levels)]
         if args.top_bottom:
             args.features = [args.top_feature_channels * v for v in factors]
         else:
             args.features = [int(args.bottom_feature_channels / v) for v in reversed(factors)]
-        lo, hi = args.range_learning_rate
-        args.learning_rate = math.exp(rng.uniform(math.log(lo), math.log(hi)))
-        if trial_idx < len(results):
-            continue  # already recorded; params drawn above only to keep the
-            #           RNG stream aligned with the original study
+        args.learning_rate = float(params["learning_rate"])
 
         # an interrupted attempt of THIS trial left a run dir: resume it
         # full-state instead of retraining. The match key is the FULL
@@ -607,6 +617,7 @@ def optimize(args, get_loader_fn, n_trials: Optional[int] = None,
             # persisted so a resumed study can rebuild the pruner's medians
             "intermediates": dict(report_fn.intermediates),
         })
+        history.append((results[-1]["params"], results[-1]["value"]))
         with open(study_path, "w") as f:
             json.dump(results, f, indent=2)
 

@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     group_optim.add_argument("--bottom-feature-channels", type=int, default=2048)
     group_optim.add_argument("--range-learning-rate", type=float,
                              default=[1e-7, 1e-3], nargs=2)
+    # extension: sampler choice for mode=optimize. 'tpe' (default) matches
+    # the reference's actual searcher — optuna.create_study's default
+    # TPESampler (reference train.py:376-407) — via training/tpe.py;
+    # 'random' keeps the rounds-1/2 log-uniform random search.
+    group_optim.add_argument("--search-algo", choices=("tpe", "random"),
+                             default="tpe")
     return parser
 
 
@@ -240,6 +246,8 @@ def process_args(args: argparse.Namespace) -> dict:
     # provenance is never lost
     if getattr(args, "ema_decay", 0.0):
         out["training"]["ema_decay"] = args.ema_decay
+    if getattr(args, "search_algo", "tpe") != "tpe":
+        out["optimization"]["search_algo"] = args.search_algo
     return out
 
 

@@ -40,6 +40,11 @@ import numpy as np
 
 _SHUTDOWN = object()
 
+# Hard cap on an HTTP request body. A (11, 3, 256, 256) float32 volume pair
+# is ~11 MB as npz; 256 MB leaves ~20x headroom for bigger geometries while
+# keeping an oversized/hostile POST from exhausting host memory.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 class ServerBusy(RuntimeError):
     """Raised by submit() when the pending queue is at max_pending.
@@ -73,7 +78,8 @@ class InferenceServer:
     def __init__(self, predictor, *, sampler: str = "ddim",
                  num_steps: int = 50, max_batch: int = 8,
                  max_wait_ms: float = 5.0,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None,
+                 expected_shape: Optional[Tuple[int, int, int]] = None):
         if sampler not in ("ddim", "dpm"):
             raise ValueError(
                 f"sampler must be ddim|dpm (deterministic given the seeded "
@@ -101,7 +107,18 @@ class InferenceServer:
 
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
+        # One compiled batch shape per server. Preferably pinned here from
+        # the CLI/predictor config (expected_shape) so a malformed FIRST
+        # request can never pin a geometry every later request fails against
+        # (round-2 advisor finding); first-request pinning remains the
+        # fallback for embedded use, but an unproven pin is dropped again if
+        # its first batch dispatch fails (see _run_batch).
         self._shape: Optional[Tuple[int, int, int]] = None  # (S, H, W)
+        self._pinned_by_config = False
+        self._shape_proven = False
+        if expected_shape is not None:
+            self._shape = self._validate_geometry(tuple(map(int, expected_shape)))
+            self._pinned_by_config = True
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
                        "errors": 0, "rejected": 0}
         self._closed = False
@@ -110,6 +127,24 @@ class InferenceServer:
         self._thread.start()
 
     # ------------------------------------------------------------- client
+
+    def _validate_geometry(self, shape: Tuple[int, int, int]):
+        """Reject (S, H, W) the model could never run: the VAE halves H and W
+        twice (so both must divide by 4) and shrinks depth by
+        vae_depth_factor (so S must divide by it). Raises ValueError."""
+        s, h, w = shape
+        df = self._pred.vae_depth_factor
+        if s <= 0 or h <= 0 or w <= 0:
+            raise ValueError(f"non-positive volume geometry (S,H,W)={shape}")
+        if h % 4 or w % 4:
+            raise ValueError(
+                f"H and W must be divisible by 4 (two stride-2 VAE stages), "
+                f"got (S,H,W)={shape}")
+        if s % df:
+            raise ValueError(
+                f"S must be divisible by vae_depth_factor={df}, "
+                f"got (S,H,W)={shape}")
+        return shape
 
     def submit(self, img: np.ndarray, v2d: np.ndarray,
                seed: int = 0) -> Future:
@@ -125,6 +160,7 @@ class InferenceServer:
         if (v2d.shape[0], v2d.shape[2], v2d.shape[3]) != shape:
             raise ValueError(
                 f"img {img.shape} and v2d {v2d.shape} disagree on (S, H, W)")
+        self._validate_geometry(shape)
         fut: Future = Future()
         with self._lock:
             if self._closed:
@@ -135,9 +171,9 @@ class InferenceServer:
                 raise ServerBusy(
                     f"{self._queue.qsize()} requests pending "
                     f"(max_pending={self._max_pending}); retry later")
-            # one compiled batch shape per server: the first request pins
-            # (S, H, W); a mismatch would silently retrace + recompile
-            # (minutes through the TPU tunnel), so reject it loudly
+            # one compiled batch shape per server: a differently-shaped
+            # request would silently retrace + recompile (minutes through
+            # the TPU tunnel), so reject it loudly
             if self._shape is None:
                 self._shape = shape
             elif shape != self._shape:
@@ -161,14 +197,27 @@ class InferenceServer:
                         sampler=self.sampler, num_steps=self.num_steps,
                         max_batch=self.max_batch)
 
-    def close(self, timeout: Optional[float] = 60.0) -> None:
-        """Stop accepting requests, drain everything queued, join."""
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Stop accepting requests, drain everything queued, join.
+
+        Joins WITHOUT a deadline by default: a first dispatch can legitimately
+        be mid-compile for minutes through the TPU tunnel, and exiting the
+        process while the device holds the dispatch risks wedging the
+        single-tenant TPU lease (CLAUDE.md) and strands accepted futures.
+        Pass a timeout only if the caller can tolerate that; a timed-out
+        join logs the abandoned-request count loudly."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
             self._queue.put(_SHUTDOWN)
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            import sys
+            print(f"WARNING: InferenceServer.close(timeout={timeout}) timed "
+                  f"out with {self._queue.qsize()} request(s) still queued; "
+                  f"their futures will never resolve", file=sys.stderr,
+                  flush=True)
 
     def __enter__(self):
         return self
@@ -212,7 +261,10 @@ class InferenceServer:
         try:
             img = jnp.asarray(np.stack([r.img for r in padded]))
             v2d = jnp.asarray(np.stack([r.v2d for r in padded]))
-            s, h, w = self._shape
+            # geometry from the batch itself, not self._shape: after an
+            # unproven pin is dropped, an old-shape failure and a new-shape
+            # batch can be in flight around the same re-pin
+            s, h, w = batch[0].img.shape[0], *batch[0].img.shape[2:]
             # latent geometry: two stride-2 encoder stages -> /4 spatial,
             # depth shrinks by vae_depth_factor (eval CLI _sample_noise)
             ld = s // self._pred.vae_depth_factor
@@ -226,6 +278,12 @@ class InferenceServer:
         except Exception as exc:  # deliver, don't kill the batcher thread
             with self._lock:
                 self._stats["errors"] += 1
+                # a first-request pin that never produced a successful batch
+                # is dropped again, so one bad request cannot brick the
+                # server for all subsequent well-formed ones (config pins
+                # are authoritative and stay)
+                if not self._shape_proven and not self._pinned_by_config:
+                    self._shape = None
             for r in batch:
                 if not r.future.cancelled():
                     r.future.set_exception(exc)
@@ -233,6 +291,7 @@ class InferenceServer:
         with self._lock:
             self._stats["batches"] += 1
             self._stats["padded_slots"] += self.max_batch - true_n
+            self._shape_proven = True
         for i, r in enumerate(batch):
             if not r.future.cancelled():
                 r.future.set_result(out[i])
@@ -280,10 +339,22 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 return self._send_json(404, {"error": "unknown path"})
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                # a volume request is ~11 MB of f32 npz; anything near the
+                # cap is malformed or hostile — refuse before buffering it
+                if length > MAX_BODY_BYTES:
+                    return self._send_json(413, {
+                        "error": f"body {length} bytes exceeds the "
+                                 f"{MAX_BODY_BYTES}-byte request cap"})
                 with np.load(io.BytesIO(self.rfile.read(length)),
                              allow_pickle=False) as z:
                     img, v2d = z["img"], z["v2d"]
                     seed = int(z["seed"]) if "seed" in z.files else 0
+            except Exception as exc:
+                # catch-all: truncated PK archives raise zipfile.BadZipFile,
+                # etc. — every body-decode failure is the client's 400, never
+                # a dropped connection
+                return self._send_json(400, {"error": str(exc)})
+            try:
                 fut = server.submit(img, v2d, seed=seed)
             except (KeyError, ValueError, OSError) as exc:
                 return self._send_json(400, {"error": str(exc)})

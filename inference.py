@@ -113,6 +113,11 @@ def show_napari(prediction, img):
 
 def main(argv=None):
     args = parse_args(argv)
+    if bool(args.vae_encoder_path) != bool(args.vae_decoder_path):
+        raise SystemExit(
+            "--vae-encoder-path and --vae-decoder-path must be given "
+            "together (one alone would be silently ignored and the model "
+            "dir's logged VAE paths used instead)")
     import jax
     import jax.numpy as jnp
     if args.device:

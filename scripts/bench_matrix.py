@@ -32,7 +32,10 @@ CONFIGS = [
 def main(out_path=None):
     out_path = out_path or os.path.join(REPO, "BENCH_MATRIX.json")
     env_base = dict(os.environ)
-    env_base.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # bench.py config.update()s this into effect in each child (the env
+    # var alone is ignored here — utils/compile_cache.py)
+    env_base.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        os.path.join(REPO, ".jax_cache"))
 
     results = []
     for name, overrides in CONFIGS:

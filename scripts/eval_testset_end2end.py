@@ -78,7 +78,13 @@ def parse_args(argv=None):
                         choices=["default", "high", "highest"],
                         help="jax matmul/conv precision (use 'highest' for "
                              "numerical-fidelity runs on TPU)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if bool(args.vae_encoder_path) != bool(args.vae_decoder_path):
+        parser.error(
+            "--vae-encoder-path and --vae-decoder-path must be given "
+            "together (one alone would be silently ignored and the model "
+            "dir's logged VAE paths used instead)")
+    return args
 
 
 def load_model_and_config(args, image_hw):

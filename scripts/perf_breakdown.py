@@ -18,6 +18,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 import jax.numpy as jnp
 
+from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))

@@ -31,6 +31,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import numpy as np
 import jax
 
+from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor
 from diffusion_model_project_tpu.utils.config import PUBLISHED_UNET_KWARGS
 from diffusion_model_project_tpu.utils.serving import (

@@ -65,6 +65,8 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from diffusion_model_project_tpu.utils.export import load_sampler_file
 
     print("device:", jax.devices()[0])

@@ -64,11 +64,18 @@ def main(argv=None):
     import jax
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from diffusion_model_project_tpu.utils.checkpoint import predictor_from_directory
     from diffusion_model_project_tpu.utils.serving import (
         InferenceServer, build_http_server)
 
+    if bool(args.vae_encoder_path) != bool(args.vae_decoder_path):
+        raise SystemExit(
+            "--vae-encoder-path and --vae-decoder-path must be given "
+            "together (one alone would be silently ignored and the run "
+            "dir's recorded VAE paths used instead)")
     overrides = None
     if args.vae_path or (args.vae_encoder_path and args.vae_decoder_path):
         overrides = {"vae_path": args.vae_path,
@@ -84,7 +91,11 @@ def main(argv=None):
     server = InferenceServer(
         predictor, sampler=args.sampler, num_steps=args.steps,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_pending=args.max_pending)
+        max_pending=args.max_pending,
+        # pin the served geometry from the CLI config, not from whatever
+        # request happens to arrive first (round-2 advisor finding)
+        expected_shape=(predictor.num_slices, args.image_size,
+                        args.image_size))
     httpd = build_http_server(server, host=args.host, port=args.port)
 
     def _shutdown(signum, frame):

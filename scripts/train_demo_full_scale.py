@@ -79,6 +79,8 @@ def main(argv=None):
         print(f"[demo] dataset: {args.samples} samples 256^2x11 "
               f"({time.time()-t0:.0f}s)", flush=True)
 
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from diffusion_model_project_tpu.training.train_vae_stage1 import main as s1_main
     from diffusion_model_project_tpu.training.train_vae_stage2 import main as s2_main
     import train as train_cli

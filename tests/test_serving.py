@@ -67,10 +67,11 @@ def test_concurrent_requests_coalesce_and_match_direct(pred):
         stats = server.stats()
 
     assert stats["requests"] == 9
-    # 9 requests over max_batch=4 need >= 3 dispatches; coalescing means
-    # strictly fewer dispatches than requests (the first dispatch compiles,
-    # during which the rest queue up)
-    assert 3 <= stats["batches"] < 9
+    # 9 requests over max_batch=4 need >= 3 dispatches; with a warm compile
+    # cache each request CAN complete before the next submit (batches == 9),
+    # so only the lower bound is load-bearing here — the exact coalescing /
+    # padding accounting lives in test_single_request_is_padded_not_retraced
+    assert 3 <= stats["batches"] <= 9
     assert stats["errors"] == 0
     for got, want in zip(results, expected):
         assert got.shape == (S, 3, H, W)
@@ -103,6 +104,42 @@ def test_request_validation(pred):
             server.submit(img[:2], v2d[:2])
     with pytest.raises(RuntimeError, match="closed"):
         server.submit(img, v2d)
+
+
+def test_geometry_validation_and_config_pin(pred):
+    img, v2d = _volume(0)
+    # impossible geometry is rejected in submit() BEFORE it can pin anything
+    with InferenceServer(pred, num_steps=STEPS, max_batch=2) as server:
+        with pytest.raises(ValueError, match="divisible by 4"):
+            server.submit(img[:, :, :30, :], v2d[:, :, :30, :])
+        assert server._shape is None  # nothing pinned by the reject
+        server.predict(img, v2d, seed=0)
+    # a config-pinned server rejects wrong-shape requests from the start —
+    # the FIRST request can never pin a geometry the CLI didn't compile for
+    with InferenceServer(pred, num_steps=STEPS, max_batch=2,
+                         expected_shape=(S, H, W)) as server:
+        with pytest.raises(ValueError, match="pinned"):
+            server.submit(img[:, :, : H // 2], v2d[:, :, : H // 2])
+        server.predict(img, v2d, seed=0)  # the configured shape still works
+    # an impossible expected_shape fails at construction, not at request time
+    with pytest.raises(ValueError, match="divisible by 4"):
+        InferenceServer(pred, num_steps=STEPS, expected_shape=(S, 30, W))
+
+
+def test_failed_unproven_pin_is_dropped(pred):
+    """A first request whose dispatch fails must not brick the server: its
+    never-successful pin is dropped so later well-formed requests re-pin."""
+    img, v2d = _volume(1)
+    with InferenceServer(pred, num_steps=STEPS, max_batch=1,
+                         max_wait_ms=0.0) as server:
+        real_fn, server._fn = server._fn, None  # TypeError on first dispatch
+        with pytest.raises(TypeError):
+            server.predict(img[:1], v2d[:1], seed=0)  # pins (1, H, W), fails
+        server._fn = real_fn
+        # a different (valid) geometry is accepted and re-pins
+        out = server.predict(img, v2d, seed=0)
+        assert out.shape == (S, 3, H, W)
+        assert server.stats()["errors"] == 1
 
 
 def test_backpressure_bounded_queue(pred):
@@ -165,6 +202,24 @@ def test_http_round_trip(pred):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(bad, timeout=60)
         assert exc_info.value.code == 400
+
+        # truncated PK archive (zipfile.BadZipFile) -> 400 via the
+        # catch-all, not a dropped connection
+        trunc = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=b"PK\x03\x04" + b"\x00" * 32)
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(trunc, timeout=60)
+        assert exc_info.value.code == 400
+
+        # oversized Content-Length -> 413 before the body is buffered
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/v1/predict")
+        conn.putheader("Content-Length", str(1 << 40))
+        conn.endheaders()
+        assert conn.getresponse().status == 413
+        conn.close()
     finally:
         httpd.shutdown()
         httpd.server_close()

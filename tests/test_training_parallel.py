@@ -388,6 +388,7 @@ def test_fsdp_specs_shard_published_flagship_params():
         assert sharded / total > 0.99, sharded / total
 
 
+@pytest.mark.slow  # two full trainer runs; two-round-proven (VERDICT r2 §6)
 def test_vae_stage1_data_parallel_matches_single_device(
         shared_data_dir, tmp_path_factory, capsys):
     """--data-parallel on the 8-device mesh reproduces the single-device
@@ -414,6 +415,7 @@ def test_vae_stage1_data_parallel_matches_single_device(
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow  # two full trainer runs; two-round-proven (VERDICT r2 §6)
 def test_vae_stage2_data_parallel_matches_single_device(
         shared_data_dir, shared_stage1_dir, tmp_path_factory, capsys):
     """Stage-2 under the data mesh (paired batches sharded, frozen E3D/D3D
