@@ -59,21 +59,52 @@ from diffusion_model_project_tpu.utils.config import (
 REF_A100_VOLUMES_PER_SEC = 1.8
 
 
+def _sync(tree) -> float:
+    """Honest completion barrier for the axon backend.
+
+    jax.block_until_ready can return EARLY here even when iterations are
+    chained through data dependencies (measured: a 256^2 train step "timed"
+    at 3.4 ms with block_until_ready vs 295 ms with a real barrier). Only an
+    actual device->host transfer is trustworthy, so reduce one leaf to a
+    scalar on device and pull the 4 bytes.
+    """
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(jnp.sum(leaf)).reshape(()))
+
+
 def bench_train():
-    """Training-step throughput (published UNet config, 128^2 dry-run scale)."""
+    """Training-step throughput (published UNet config).
+
+    Defaults to the 128^2 dry-run scale; BENCH_TRAIN_HW=256 BENCH_BATCH=2
+    measures the published 256^2x11 step (the PERF.md full-scale table,
+    regenerable — VERDICT r2 #5), and BENCH_TRAIN_PHYSICS=1 adds the full
+    physics-loss step (per-block remat through the frozen D3D). The step is
+    jitted with the trainer's own (predictor, opt_state) donation
+    (training/helper.py:157-171)."""
     import jax.numpy as jnp
     import optax
 
     from diffusion_model_project_tpu.training.steps import make_diffusion_train_step
 
-    b, s, h, w = 2, 11, 128, 128
+    hw = int(os.environ.get("BENCH_TRAIN_HW", "128"))
+    b, s, h, w = int(os.environ.get("BENCH_BATCH", "2")), 11, hw, hw
+    physics = None
+    if os.environ.get("BENCH_TRAIN_PHYSICS", "0") == "1":
+        from diffusion_model_project_tpu.losses.physics import PhysicsLoss
+        # all four terms active (the PERF.md "+ all physics losses" row)
+        physics = PhysicsLoss(lambda_div=0.01, lambda_flow=0.001,
+                              lambda_smooth=0.001, lambda_laplacian=0.001,
+                              normalize_smoothness=True)
     pred = LatentDiffusionPredictor.create(
         dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=s,
         num_timesteps=1000, distance_transform=True, image_hw=(h, w),
     ).with_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    if physics is not None:
+        pred = pred.set_normalizer({"input": [1.0],
+                                    "output": [2.1e-2, 1.6e-2, 7.9e-3]})
     optimizer = optax.adam(1e-4)
     opt_state = optimizer.init(pred.unet_params)
-    step = jax.jit(make_diffusion_train_step(optimizer))
+    step = make_diffusion_train_step(optimizer, physics=physics)
 
     r = np.random.default_rng(0)
     img = (r.random((b, s, 1, h, w)) > 0.3).astype(np.float32)
@@ -83,18 +114,43 @@ def bench_train():
         "U_2d": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
         "U": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
     }
-    pred, opt_state, aux = step(pred, opt_state, batch, jax.random.key(1))
-    jax.block_until_ready(aux)
-    n_iters = 10
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    # On-device scan of n_iters steps + ONE scalar transfer — the honest
+    # axon barrier (block_until_ready returns early; see main()'s loop
+    # comment / PERF.md methodology). Real training dispatches ahead
+    # asynchronously, so the device-bound rate IS the steady-state rate.
+    # Donation is implicit: the scan carry (pred, opt_state) is
+    # double-buffered by XLA exactly like the trainer's donate_argnums.
+    # batch leaves are chained through a scalar so nothing (EDT, E2D encode,
+    # E3D encode_target) is loop-invariant — real training sees fresh data
+    # every step and must pay those stages every step (see main()'s comment)
+    @jax.jit
+    def loop(pred, opt_state, batch, key):
+        def body(carry, k):
+            p, o, z = carry
+            b = {name: leaf + z for name, leaf in batch.items()}
+            p, o, aux = step(p, o, b, jax.random.fold_in(key, k))
+            loss = jax.tree_util.tree_leaves(aux)[0]
+            return (p, o, loss.astype(jnp.float32).ravel()[0] * 0), loss
+        (p, o, z), auxes = jax.lax.scan(
+            body, (pred, opt_state, jnp.float32(0)), jnp.arange(n_iters))
+        return jnp.asarray(auxes).astype(jnp.float32).sum()
+
+    print(f"[bench] compiling train loop {h}x{w} B={b} x{n_iters} "
+          f"physics={physics is not None} ...", file=sys.stderr, flush=True)
+    val = float(np.asarray(loop(pred, opt_state, batch, jax.random.key(1))))
+    assert np.isfinite(val), "non-finite training aux"
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        pred, opt_state, aux = step(pred, opt_state, batch, jax.random.key(i))
-    jax.block_until_ready(aux)
+    float(np.asarray(loop(pred, opt_state, batch, jax.random.key(2))))
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "train_volumes_per_sec_per_chip",
+        "metric": ("train_volumes_per_sec_per_chip" if physics is None
+                   else "train_physics_volumes_per_sec_per_chip"),
         "value": round(b * n_iters / dt, 3),
         "unit": "volumes/s",
+        "ms_per_step": round(dt / n_iters * 1e3, 1),
+        "hw": hw,
         "vs_baseline": None,
     }))
 
@@ -149,30 +205,51 @@ def main():
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     assert sampler in ("ddim", "dpm"), f"BENCH_SAMPLER must be ddim|dpm, got {sampler}"
 
-    @jax.jit
-    def e2e(pred, img, v2d, rng):
+    def one(pred, img, v2d, rng):
         if sampler == "dpm":
             return pred.predict_dpm(img, v2d, num_steps=DDIM_STEPS, rng=rng)
         return pred.predict_ddim(img, v2d, num_steps=DDIM_STEPS, eta=0.0, rng=rng)
 
-    # warmup / compile — announce progress on stderr (stdout stays one JSON
-    # line) so a driver watching the process sees liveness during the first
-    # cold compile, which can take minutes at nproc=1 through the TPU tunnel.
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    # The timing loop runs ON DEVICE as a lax.scan of n_iters end-to-end
+    # pipeline calls (data-chained so none can be elided), closed by ONE
+    # scalar device->host transfer. Two reasons (PERF.md methodology):
+    #   1. honesty — jax.block_until_ready returns EARLY on axon even for
+    #      chained host-loop dispatches (a 256^2 train step "timed" at 3.4 ms
+    #      vs 295 ms real); only a transfer is a true barrier;
+    #   2. throughput — host-dispatched loops leave a ~25 ms tunnel bubble
+    #      per dispatch between iterations (1.13 s/iter vs 0.87 s/iter
+    #      measured); a production server keeps the device queue full, which
+    #      the on-device loop models and a host loop does not.
+    # EVERY input is chained through the carry: leaving v2d loop-invariant
+    # lets XLA hoist the whole E2D encode out of the scan, silently dropping
+    # a ~30% stage of the pipeline from the measurement (observed: 9.28
+    # "vol/s" with v2d unchained vs ~7 with it chained — serving always pays
+    # the encode, so the chained number is the honest one).
+    @jax.jit
+    def loop(pred, img, v2d, key):
+        def body(carry, k):
+            out = one(pred, img + carry * 0, v2d + carry * 0,
+                      jax.random.fold_in(key, k))
+            return out.ravel()[0].astype(jnp.float32), jnp.sum(
+                jnp.isfinite(out)).astype(jnp.float32)
+        c, finite_counts = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(n_iters))
+        return c * 0 + finite_counts.min()
+
     print(
-        f"[bench] compiling e2e {sampler}-{DDIM_STEPS} B={BATCH} "
+        f"[bench] compiling e2e {sampler}-{DDIM_STEPS} B={BATCH} x{n_iters} "
         f"(cache: {os.environ['JAX_COMPILATION_CACHE_DIR']}, "
         f"nproc={os.cpu_count()}) ...", file=sys.stderr, flush=True)
     t_c = time.perf_counter()
-    out = jax.block_until_ready(e2e(pred, img, v2d, jax.random.key(1)))
+    finite = float(np.asarray(loop(pred, img, v2d, jax.random.key(1))))
+    assert finite == float(np.prod([BATCH, S, 3, H, W])), "non-finite output"
     print(f"[bench] compile+warmup done in {time.perf_counter() - t_c:.1f}s",
           file=sys.stderr, flush=True)
-    assert bool(jnp.isfinite(out).all()), "non-finite output"
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = e2e(pred, img, v2d, jax.random.key(i))
-    jax.block_until_ready(out)
+    float(np.asarray(loop(pred, img, v2d, jax.random.key(2))))
     dt = time.perf_counter() - t0
 
     volumes_per_sec = BATCH * n_iters / dt / n_chips

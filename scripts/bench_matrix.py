@@ -26,6 +26,14 @@ CONFIGS = [
     ("dpm15_bf16_b8", {"BENCH_SAMPLER": "dpm", "BENCH_STEPS": "15"}),
     ("ddim50_f32_b4", {"BENCH_DTYPE": "float32", "BENCH_BATCH": "4"}),
     ("train_bf16_b2_128", {"BENCH_MODE": "train"}),
+    # full-scale training rows (published 256^2x11 geometry, B=2): the
+    # PERF.md full-scale table regenerated rather than transcribed
+    ("train_full_256_b2", {"BENCH_MODE": "train", "BENCH_TRAIN_HW": "256",
+                           "BENCH_BATCH": "2"}),
+    ("train_full_256_b2_physics", {"BENCH_MODE": "train",
+                                   "BENCH_TRAIN_HW": "256",
+                                   "BENCH_BATCH": "2",
+                                   "BENCH_TRAIN_PHYSICS": "1"}),
 ]
 
 
