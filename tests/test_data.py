@@ -341,6 +341,54 @@ def test_npy_cache_round_trip_and_invalidation(synthetic_root):
     assert len(entries) == 1  # stale entry replaced
 
 
+def test_npy_cache_tmp_reclaim_is_pid_guarded(synthetic_root):
+    """Orphan .tmp entries from a SIGKILLed writer are reclaimed on the next
+    cache write, but a LIVE concurrent writer's .tmp is never touched
+    (data/dataset.py:63-86) — and a concurrent second reader process gets
+    identical data while the parent races it for the first conversion.
+    The 2 GB-scale version of this is scripts/soak_ingest_cache.py."""
+    import os
+    import os.path as osp
+    import subprocess
+    import sys
+    from diffusion_model_project_tpu.data.dataset import _load_pt
+
+    path = str(synthetic_root / "x" / "U_2d.pt")
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+    # concurrent second reader racing the parent's first conversion
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys, numpy as np\n"
+         f"sys.path.insert(0, {repo!r})\n"
+         "from diffusion_model_project_tpu.data.dataset import _load_pt\n"
+         f"a = np.asarray(_load_pt({path!r}))\n"
+         "print('child_sum', float(a.sum()))"],
+        stdout=subprocess.PIPE, text=True)
+    parent = np.asarray(_load_pt(path))
+    out, _ = child.communicate(timeout=300)
+    assert child.returncode == 0
+    assert abs(float(out.split()[-1]) - float(parent.sum())) < 1e-3
+
+    cache_dir = osp.join(osp.dirname(path), ".npy_cache")
+    name = osp.basename(path)
+    # plant: one dead-pid orphan, one live-pid (our own) in-flight tmp
+    probe = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True)
+    dead = osp.join(cache_dir, f"{name}.1.1.npy.tmp{probe.stdout.strip()}.npy")
+    live = osp.join(cache_dir, f"{name}.2.2.npy.tmp{os.getpid()}.npy")
+    for p in (dead, live):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    os.utime(path)  # invalidate -> next load takes the write path
+    arr = np.asarray(_load_pt(path))
+    np.testing.assert_array_equal(arr, parent)
+    assert not osp.exists(dead), "dead-pid orphan must be reclaimed"
+    assert osp.exists(live), "live-pid tmp must NOT be reclaimed"
+    os.remove(live)
+
+
 def test_npy_cache_opt_out(synthetic_root, monkeypatch):
     from diffusion_model_project_tpu.data.dataset import _load_pt
 
