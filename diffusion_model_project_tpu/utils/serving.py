@@ -12,10 +12,12 @@ under ``jax.jit`` with a persistent compilation cache. This module is the
 daemon around that recommendation:
 
 - each request is ONE volume (binary microstructure + 2D velocity + seed);
-  a single batcher thread coalesces up to ``max_batch`` queued requests
+  a batcher thread coalesces up to ``max_batch`` queued requests
   (waiting at most ``max_wait_ms`` after the first arrives) into ONE device
   dispatch of the fused sampler scan — batch 8 is the measured single-chip
-  throughput sweet spot (PERF.md).
+  throughput sweet spot (PERF.md). Dispatch and result transfer are
+  pipelined across two threads (dispatch is async in jax), so the device
+  queue stays non-empty while a finished batch streams back to hosts.
 - partial batches are padded by repeating the last request so the server
   compiles exactly one batch shape (the same trick as the eval CLI's
   chunks, scripts/eval_testset_end2end.py::_dispatch); padded outputs are
@@ -122,9 +124,22 @@ class InferenceServer:
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
                        "errors": 0, "rejected": 0}
         self._closed = False
+        # two-stage pipeline: the batcher thread collects + DISPATCHES
+        # (async — jax returns device futures), the completion thread blocks
+        # on the device->host transfer and resolves futures. While batch k's
+        # result streams back over the tunnel, batch k+1 is already queued
+        # on the device, so the chip never idles between micro-batches
+        # (host-side transfer+delivery measured at ~0.1-0.3 s per B=8 batch
+        # against a ~1.1 s DDIM-50 dispatch). maxsize bounds in-flight
+        # batches: each slot pins one batch of host+device arrays.
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(
             target=self._loop, name="inference-batcher", daemon=True)
+        self._completion = threading.Thread(
+            target=self._completion_loop, name="inference-completion",
+            daemon=True)
         self._thread.start()
+        self._completion.start()
 
     # ------------------------------------------------------------- client
 
@@ -212,12 +227,16 @@ class InferenceServer:
             self._closed = True
             self._queue.put(_SHUTDOWN)
         self._thread.join(timeout=timeout)
-        if self._thread.is_alive():
+        # the batcher forwards the sentinel downstream after its last
+        # dispatch, so joining the completion thread drains every in-flight
+        # transfer before close() returns
+        self._completion.join(timeout=timeout)
+        if self._thread.is_alive() or self._completion.is_alive():
             import sys
             print(f"WARNING: InferenceServer.close(timeout={timeout}) timed "
-                  f"out with {self._queue.qsize()} request(s) still queued; "
-                  f"their futures will never resolve", file=sys.stderr,
-                  flush=True)
+                  f"out with {self._queue.qsize()} queued and "
+                  f"{self._inflight.qsize()} in-flight batch(es); their "
+                  f"futures will never resolve", file=sys.stderr, flush=True)
 
     def __enter__(self):
         return self
@@ -232,6 +251,7 @@ class InferenceServer:
         while True:
             req = self._queue.get()
             if req is _SHUTDOWN:
+                self._inflight.put(_SHUTDOWN)
                 return
             batch = [req]
             deadline = time.monotonic() + self._max_wait_s
@@ -248,11 +268,16 @@ class InferenceServer:
                     stop = True
                     break
                 batch.append(nxt)
-            self._run_batch(batch)
+            self._dispatch_batch(batch)
             if stop:
+                self._inflight.put(_SHUTDOWN)
                 return
 
-    def _run_batch(self, batch) -> None:
+    def _dispatch_batch(self, batch) -> None:
+        """Stage 1: assemble + dispatch (async) and hand the device result
+        to the completion thread; blocks only when 2 batches are already in
+        flight. Trace-time errors surface here, execution errors at the
+        completion thread's transfer — both deliver to the futures."""
         import jax
         import jax.numpy as jnp
 
@@ -274,27 +299,45 @@ class InferenceServer:
                     jax.random.key(r.seed),
                     (ld, self._pred.latent_channels, lh, lw))
                 for r in padded])
-            out = np.asarray(self._fn(self._pred, img, v2d, noise))
-        except Exception as exc:  # deliver, don't kill the batcher thread
-            with self._lock:
-                self._stats["errors"] += 1
-                # a first-request pin that never produced a successful batch
-                # is dropped again, so one bad request cannot brick the
-                # server for all subsequent well-formed ones (config pins
-                # are authoritative and stay)
-                if not self._shape_proven and not self._pinned_by_config:
-                    self._shape = None
-            for r in batch:
-                if not r.future.cancelled():
-                    r.future.set_exception(exc)
+            out_dev = self._fn(self._pred, img, v2d, noise)
+        except Exception as exc:
+            self._deliver_failure(batch, exc)
             return
+        self._inflight.put((out_dev, batch, true_n))
+
+    def _completion_loop(self) -> None:
+        """Stage 2: block on each in-flight batch's device->host transfer
+        and resolve its futures, while the batcher dispatches ahead."""
+        while True:
+            item = self._inflight.get()
+            if item is _SHUTDOWN:
+                return
+            out_dev, batch, true_n = item
+            try:
+                out = np.asarray(out_dev)
+            except Exception as exc:  # execution failure surfaces at fetch
+                self._deliver_failure(batch, exc)
+                continue
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += self.max_batch - true_n
+                self._shape_proven = True
+            for i, r in enumerate(batch):
+                if not r.future.cancelled():
+                    r.future.set_result(out[i])
+
+    def _deliver_failure(self, batch, exc) -> None:
         with self._lock:
-            self._stats["batches"] += 1
-            self._stats["padded_slots"] += self.max_batch - true_n
-            self._shape_proven = True
-        for i, r in enumerate(batch):
+            self._stats["errors"] += 1
+            # a first-request pin that never produced a successful batch
+            # is dropped again, so one bad request cannot brick the
+            # server for all subsequent well-formed ones (config pins
+            # are authoritative and stay)
+            if not self._shape_proven and not self._pinned_by_config:
+                self._shape = None
+        for r in batch:
             if not r.future.cancelled():
-                r.future.set_result(out[i])
+                r.future.set_exception(exc)
 
 
 # ------------------------------------------------------------------- HTTP

@@ -94,11 +94,35 @@ def _run_level(port, payloads, concurrency):
     return latencies, wall
 
 
+def _tunnel_bandwidth():
+    """Host<->device bandwidth probe: the serving latency through the axon
+    TUNNEL is dominated by the ~100 MB host->device batch transfer, a term
+    that is ~3-7 ms on a co-located TPU-VM host. Measuring it makes the
+    latency artifact interpretable."""
+    import jax.numpy as jnp
+
+    mb = 100
+    arr = np.random.default_rng(0).random((mb * 1024 * 1024 // 4,),
+                                          dtype=np.float32)
+    dev = jnp.asarray(arr[:1024])  # warm the path
+    np.asarray(dev)
+    t0 = time.perf_counter()
+    dev = jnp.asarray(arr)
+    dev.block_until_ready()
+    h2d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    d2h = time.perf_counter() - t0
+    return {"h2d_MBps": round(mb / h2d, 1), "d2h_MBps": round(mb / d2h, 1)}
+
+
 def main():
     out_path = os.environ.get(
         "SERVE_LAT_OUT",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SERVE_LATENCY_r03.json"))
+    bw = _tunnel_bandwidth()
+    print("tunnel bandwidth:", json.dumps(bw), flush=True)
     results = []
     for sampler, steps in CONFIGS:
         pred = LatentDiffusionPredictor.create(
@@ -174,6 +198,14 @@ def main():
         "device": str(jax.devices()[0]),
         "scale": {"batch_max": BATCH, "volume": [S, 3, H, W],
                   "dtype": "bfloat16"},
+        "tunnel_bandwidth": bw,
+        "environment_note": (
+            "Measured through the axon TPU TUNNEL: each dispatch moves "
+            "~100 MB of batch inputs host->device at the bandwidth above, "
+            "which dominates per-request latency here. On a co-located "
+            "TPU-VM host the same transfer is ~3-7 ms; subtract the "
+            "transfer term (batch_bytes / h2d_MBps) for the deployment "
+            "estimate."),
         "results": results,
         "latent_sharding_projection": projection,
     }
