@@ -36,7 +36,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -81,7 +81,8 @@ class InferenceServer:
                  num_steps: int = 50, max_batch: int = 8,
                  max_wait_ms: float = 5.0,
                  max_pending: Optional[int] = None,
-                 expected_shape: Optional[Tuple[int, int, int]] = None):
+                 expected_shape: Optional[Tuple[int, int, int]] = None,
+                 batch_sizes: Optional[Sequence[int]] = None):
         if sampler not in ("ddim", "dpm"):
             raise ValueError(
                 f"sampler must be ddim|dpm (deterministic given the seeded "
@@ -93,12 +94,25 @@ class InferenceServer:
         self._pred = predictor
         self.sampler = sampler
         self.num_steps = int(num_steps)
-        self.max_batch = int(max_batch)
+        # batch_sizes: the ladder of compiled batch shapes. Default is one
+        # shape (max_batch, the throughput sweet spot) — every dispatch pads
+        # to it. A ladder like (1, 8) is the LATENCY mode: a lone request
+        # runs the B=1 program instead of paying the 8-padded dispatch,
+        # while bursts still coalesce at 8. Each size compiles once
+        # (warmup() pre-compiles them all); per-request seeded latents keep
+        # results identical across sizes (asserted in tests/test_serving.py).
+        if batch_sizes is None:
+            batch_sizes = (int(max_batch),)
+        sizes = sorted({int(s) for s in batch_sizes})
+        if not sizes or sizes[0] < 1:
+            raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+        self.batch_sizes = tuple(sizes)
+        self.max_batch = self.batch_sizes[-1]
         self._max_wait_s = float(max_wait_ms) / 1000.0
-        if max_pending is not None and max_pending < max_batch:
+        if max_pending is not None and max_pending < self.max_batch:
             raise ValueError(
-                f"max_pending={max_pending} < max_batch={max_batch} could "
-                f"never fill a batch")
+                f"max_pending={max_pending} < max_batch={self.max_batch} "
+                f"could never fill a batch")
         self._max_pending = max_pending
         if sampler == "dpm":
             self._fn = jax.jit(lambda p, i, v, n: p.predict_dpm(
@@ -206,6 +220,29 @@ class InferenceServer:
                 seed: int = 0) -> np.ndarray:
         return self.submit(img, v2d, seed).result()
 
+    def warmup(self) -> None:
+        """Pre-compile every batch size in the ladder (requires a
+        config-pinned shape). Without this, the first request hitting each
+        size pays its compile — minutes through a cold TPU tunnel."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._shape is None:
+            raise RuntimeError(
+                "warmup() needs expected_shape pinned at construction")
+        s, h, w = self._shape
+        ld = s // self._pred.vae_depth_factor
+        img = np.zeros((s, 1, h, w), np.float32)
+        img[:, :, 0, 0] = 1.0  # one fluid voxel keeps the EDT finite
+        v2d = np.zeros((s, 3, h, w), np.float32)
+        for size in self.batch_sizes:
+            noise = jnp.zeros((size, ld, self._pred.latent_channels,
+                               h // 4, w // 4))
+            out = self._fn(self._pred,
+                           jnp.asarray(np.stack([img] * size)),
+                           jnp.asarray(np.stack([v2d] * size)), noise)
+            jax.block_until_ready(out)
+
     def stats(self) -> dict:
         with self._lock:
             return dict(self._stats, queue_depth=self._queue.qsize(),
@@ -282,7 +319,9 @@ class InferenceServer:
         import jax.numpy as jnp
 
         true_n = len(batch)
-        padded = batch + [batch[-1]] * (self.max_batch - true_n)
+        # smallest compiled size that fits (the latency ladder)
+        size = next(s for s in self.batch_sizes if s >= true_n)
+        padded = batch + [batch[-1]] * (size - true_n)
         try:
             img = jnp.asarray(np.stack([r.img for r in padded]))
             v2d = jnp.asarray(np.stack([r.v2d for r in padded]))
@@ -303,7 +342,7 @@ class InferenceServer:
         except Exception as exc:
             self._deliver_failure(batch, exc)
             return
-        self._inflight.put((out_dev, batch, true_n))
+        self._inflight.put((out_dev, batch, size - true_n))
 
     def _completion_loop(self) -> None:
         """Stage 2: block on each in-flight batch's device->host transfer
@@ -312,7 +351,7 @@ class InferenceServer:
             item = self._inflight.get()
             if item is _SHUTDOWN:
                 return
-            out_dev, batch, true_n = item
+            out_dev, batch, n_padded = item
             try:
                 out = np.asarray(out_dev)
             except Exception as exc:  # execution failure surfaces at fetch
@@ -320,7 +359,7 @@ class InferenceServer:
                 continue
             with self._lock:
                 self._stats["batches"] += 1
-                self._stats["padded_slots"] += self.max_batch - true_n
+                self._stats["padded_slots"] += n_padded
                 self._shape_proven = True
             for i, r in enumerate(batch):
                 if not r.future.cancelled():

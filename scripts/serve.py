@@ -43,6 +43,15 @@ def parse_args(argv=None):
     p.add_argument("--image-size", type=int, default=256,
                    help="Square volume H=W the server compiles for")
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-sizes", default=None,
+                   help="Comma-separated ladder of compiled batch shapes, "
+                        "e.g. '1,8': lone requests run the B=1 program "
+                        "(latency) while bursts coalesce at the max "
+                        "(throughput). Default: one shape (--max-batch)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="Skip pre-compiling the batch-size ladder at "
+                        "startup (first request per size then pays its "
+                        "compile)")
     p.add_argument("--max-wait-ms", type=float, default=20.0,
                    help="How long the batcher waits to fill a batch after "
                         "the first request arrives")
@@ -88,14 +97,21 @@ def main(argv=None):
     if args.int8:
         predictor = predictor.with_vae_int8()
 
+    batch_sizes = None
+    if args.batch_sizes:
+        batch_sizes = [int(s) for s in args.batch_sizes.split(",")]
     server = InferenceServer(
         predictor, sampler=args.sampler, num_steps=args.steps,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_pending=args.max_pending,
+        max_pending=args.max_pending, batch_sizes=batch_sizes,
         # pin the served geometry from the CLI config, not from whatever
         # request happens to arrive first (round-2 advisor finding)
         expected_shape=(predictor.num_slices, args.image_size,
                         args.image_size))
+    if not args.no_warmup:
+        print(f"pre-compiling batch sizes {server.batch_sizes} ...",
+              flush=True)
+        server.warmup()
     httpd = build_http_server(server, host=args.host, port=args.port)
 
     def _shutdown(signum, frame):

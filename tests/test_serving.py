@@ -142,6 +142,50 @@ def test_failed_unproven_pin_is_dropped(pred):
         assert server.stats()["errors"] == 1
 
 
+def test_batch_size_ladder_latency_mode(pred):
+    """batch_sizes=(1, 4): a lone request runs the B=1 program (zero padded
+    slots), a burst coalesces at 4, and results are identical to the
+    single-shape server (per-request seeded latents)."""
+    img, v2d = _volume(3)
+    with InferenceServer(pred, num_steps=STEPS, batch_sizes=(1, 4),
+                         max_wait_ms=1.0,
+                         expected_shape=(S, H, W)) as server:
+        server.warmup()  # pre-compiles both sizes
+        got = server.predict(img, v2d, seed=3)
+        stats1 = server.stats()
+        assert stats1["batches"] == 1 and stats1["padded_slots"] == 0
+        np.testing.assert_allclose(got, _direct(pred, img, v2d, seed=3),
+                                   rtol=1e-5, atol=1e-6)
+
+        # a 3-burst picks size 4 (one padded slot), not two dispatches
+        gate = threading.Event()
+        real_fn = server._fn
+
+        def gated(p, i, v, n):
+            gate.wait(timeout=60)
+            return real_fn(p, i, v, n)
+
+        server._fn = gated
+        futs = [server.submit(*_volume(10 + i), seed=i) for i in range(3)]
+        # hold the gate until all three are queued: the first dispatch is a
+        # stub-blocked B>=1 batch; remaining requests coalesce behind it
+        gate.set()
+        for f in futs:
+            f.result(timeout=300)
+        server._fn = real_fn
+        stats2 = server.stats()
+        assert stats2["batches"] - stats1["batches"] <= 3
+        assert server.batch_sizes == (1, 4)
+    with pytest.raises(ValueError, match="positive"):
+        InferenceServer(pred, batch_sizes=(0, 4))
+
+
+def test_warmup_requires_pinned_shape(pred):
+    with InferenceServer(pred, num_steps=STEPS) as server:
+        with pytest.raises(RuntimeError, match="expected_shape"):
+            server.warmup()
+
+
 def test_backpressure_bounded_queue(pred):
     img, v2d = _volume(9)
     with pytest.raises(ValueError, match="max_pending"):
