@@ -155,8 +155,116 @@ def bench_train():
     }))
 
 
+def bench_train_vae(stage: int):
+    """VAE trainer grad-step throughput at published scale (B=1, 256²×11,
+    reference widths 128/256/512, latent 8) — the PERF.md stage-1/stage-2
+    rows, regenerable. Measures the accumulation grad_step (the per-batch
+    unit of work; apply_step runs once per 10/5 microbatches and is
+    amortized), with the batch data-chained so every encode is paid."""
+    import optax
+
+    b = int(os.environ.get("BENCH_BATCH", "1"))
+    s, hw = 11, int(os.environ.get("BENCH_TRAIN_HW", "256"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    r = np.random.default_rng(0)
+    mask = (r.random((b, 1, s, hw, hw)) > 0.3).astype(np.float32)
+
+    if stage == 1:
+        from diffusion_model_project_tpu.training.train_vae_stage1 import (
+            Stage1VAE, make_steps)
+
+        vae = Stage1VAE(in_channels=3, latent_channels=8)
+        params = vae.init(jax.random.key(0), (b, s, hw, hw, 3))
+        optimizer = optax.adam(1e-6)
+        grad_step, _, _ = make_steps(
+            vae, "normalized_mae_per_channel", optimizer, accum_steps=10)
+        batch = {
+            "velocity": jnp.asarray(
+                r.standard_normal((b, 3, s, hw, hw)).astype(np.float32)),
+            "microstructure": jnp.asarray(mask),
+        }
+
+        @jax.jit
+        def loop(params, batch, key):
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def body(carry, k):
+                g_acc, z = carry
+                bz = {n: leaf + z for n, leaf in batch.items()}
+                g_acc, metrics = grad_step(
+                    g_acc, params, bz, jax.random.fold_in(key, k),
+                    jnp.float32(1e-3))
+                loss = metrics["recons"].astype(jnp.float32)
+                return (g_acc, loss.ravel()[0] * 0), loss
+            (_, _), losses = jax.lax.scan(
+                body, (g0, jnp.float32(0)), jnp.arange(n_iters))
+            return losses.sum()
+    else:
+        from diffusion_model_project_tpu.models.vae import DualBranchVAE
+        from diffusion_model_project_tpu.training.train_vae_stage2 import (
+            make_steps)
+
+        vae = DualBranchVAE(latent_channels=8)
+        dummy = jnp.zeros((1, s, 32, 32, 3), jnp.float32)
+        full = jax.jit(lambda k1, k2: vae.init(
+            {"params": k1, "sample": k2}, dummy, dummy)["params"])(
+            jax.random.key(0), jax.random.key(1))
+        trainable = {k: full[k] for k in ("encoder_2d", "decoder_2d")}
+        frozen = {k: full[k] for k in ("encoder_3d", "decoder_3d")}
+        optimizer = optax.adam(1e-6)
+        grad_step, _, _ = make_steps(
+            vae, "normalized_mae_per_channel", optimizer,
+            lambda_align=5.0, lambda_cross=50.0, accum_steps=5)
+        v2 = r.standard_normal((b, 3, s, hw, hw)).astype(np.float32)
+        v2[:, 2] = 0.0
+        batch = {
+            "velocity_2d": jnp.asarray(v2),
+            "mask_2d": jnp.asarray(mask),
+            "velocity_3d": jnp.asarray(
+                r.standard_normal((b, 3, s, hw, hw)).astype(np.float32)),
+            "mask_3d": jnp.asarray(mask),
+        }
+
+        @jax.jit
+        def loop(trainable, batch, key):
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+
+            def body(carry, k):
+                g_acc, z = carry
+                bz = {n: leaf + z for n, leaf in batch.items()}
+                g_acc, metrics = grad_step(g_acc, trainable, frozen, bz)
+                loss = metrics["recons_2d"].astype(jnp.float32)
+                return (g_acc, loss.ravel()[0] * 0), loss
+            (_, _), losses = jax.lax.scan(
+                body, (g0, jnp.float32(0)), jnp.arange(n_iters))
+            return losses.sum()
+
+    print(f"[bench] compiling stage-{stage} VAE grad loop {hw}x{hw} B={b} "
+          f"x{n_iters} ...", file=sys.stderr, flush=True)
+    val = float(np.asarray(loop(trainable if stage == 2 else params,
+                                batch, jax.random.key(1))))
+    assert np.isfinite(val), "non-finite VAE loss"
+    t0 = time.perf_counter()
+    float(np.asarray(loop(trainable if stage == 2 else params,
+                          batch, jax.random.key(2))))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"train_vae_stage{stage}_volumes_per_sec_per_chip",
+        "value": round(b * n_iters / dt, 3),
+        "unit": "volumes/s",
+        "ms_per_step": round(dt / n_iters * 1e3, 1),
+        "hw": hw,
+        "vs_baseline": None,
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_MODE", "infer") == "train":
+    mode = os.environ.get("BENCH_MODE", "infer")
+    if mode == "train_vae1":
+        return bench_train_vae(1)
+    if mode == "train_vae2":
+        return bench_train_vae(2)
+    if mode == "train":
         return bench_train()
     print(f"[bench] devices={jax.devices()} — building predictor (jitted init)",
           file=sys.stderr, flush=True)

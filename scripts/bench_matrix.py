@@ -34,6 +34,10 @@ CONFIGS = [
                                    "BENCH_TRAIN_HW": "256",
                                    "BENCH_BATCH": "2",
                                    "BENCH_TRAIN_PHYSICS": "1"}),
+    # stage-1 / stage-2 VAE grad steps at published scale (PERF.md
+    # full-scale rows, regenerable)
+    ("train_vae1_256_b1", {"BENCH_MODE": "train_vae1"}),
+    ("train_vae2_256_b1", {"BENCH_MODE": "train_vae2"}),
 ]
 
 

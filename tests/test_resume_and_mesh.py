@@ -91,6 +91,45 @@ def test_cv_mode_trains_each_fold(shared_data_dir, shared_stage1_dir,
         assert osp.exists(osp.join(save_dir, run, "model.msgpack"))
 
 
+def test_optimize_mode_cli_end_to_end(shared_data_dir, shared_stage1_dir,
+                                      shared_stage2_dir, tmp_path_factory):
+    """`train.py --mode optimize` with REAL tiny trainings (the function-level
+    pruning/resume tests mock train()): two TPE trials run end-to-end, each
+    leaves a run dir, study.json records state/params/intermediates within
+    the declared ranges (reference train.py:376-407)."""
+    import train as train_cli
+    save_dir = str(tmp_path_factory.mktemp("optimize_runs"))
+    train_cli.main([
+        "--root-dir", shared_data_dir, "--save-dir", save_dir,
+        *SHARED_UNET_ARGS, "--num-epochs", "1",
+        "--mode", "optimize", "--n-trials", "2",
+        # ranges pinned to the shared-fixture architecture so the process-
+        # wide jit cache absorbs the compiles (levels 2 @ top 8 -> [8, 16])
+        "--range-batch-size", "2", "2", "--range-kernel-size", "3", "3",
+        "--range-level", "2", "2", "--range-learning-rate", "1e-4", "1e-3",
+        "--top-feature-channels", "8",
+        "--vae-encoder-path", shared_stage2_dir,
+        "--vae-decoder-path", shared_stage1_dir,
+        "--data-parallel", "false",
+    ])
+    with open(osp.join(save_dir, "study.json")) as f:
+        study = json.load(f)
+    assert [t["state"] for t in study] == ["COMPLETE", "COMPLETE"]
+    for t in study:
+        p = t["params"]
+        assert p["batch_size"] == 2 and p["kernel_size"] == 3
+        assert p["levels"] == 2
+        assert 1e-4 <= p["learning_rate"] <= 1e-3
+        assert np.isfinite(t["value"])
+        assert t["intermediates"], "pruner intermediates must persist"
+    # every completed trial trained for real: a run dir with weights + log
+    runs = [d for d in os.listdir(save_dir)
+            if osp.isdir(osp.join(save_dir, d))]
+    assert len(runs) == 2, runs
+    for run in runs:
+        assert osp.exists(osp.join(save_dir, run, "model.msgpack"))
+
+
 def test_cv_mode_is_crash_safe(shared_data_dir, shared_stage1_dir,
                                shared_stage2_dir, tmp_path_factory, capsys):
     """Re-running a CV study skips complete folds and resumes incomplete
