@@ -204,7 +204,10 @@ def bench_train_vae(stage: int):
         from diffusion_model_project_tpu.training.train_vae_stage2 import (
             make_steps)
 
-        vae = DualBranchVAE(latent_channels=8)
+        # same remat config as the real stage-2 trainer (it differentiates
+        # through E2D, D2D AND the frozen D3D at full 256^2)
+        vae = DualBranchVAE(latent_channels=8, remat_encoders=True,
+                            remat_decoders=True)
         dummy = jnp.zeros((1, s, 32, 32, 3), jnp.float32)
         full = jax.jit(lambda k1, k2: vae.init(
             {"params": k1, "sample": k2}, dummy, dummy)["params"])(
