@@ -130,16 +130,23 @@ def main():
             num_timesteps=1000, distance_transform=True, image_hw=(H, W),
         ).set_normalizer({"input": [1.0], "output": [2.1e-2, 1.6e-2, 7.9e-3]})
         pred = pred.with_compute_dtype("bfloat16")
+        # the deployment-recommended ladder: lone requests run the B=1
+        # program (latency), bursts coalesce at BATCH (throughput).
+        # SERVE_LAT_SIZES=8 reproduces the single-shape daemon.
+        sizes = [int(x) for x in os.environ.get(
+            "SERVE_LAT_SIZES", f"1,{BATCH}").split(",")]
         server = InferenceServer(pred, sampler=sampler, num_steps=steps,
                                  max_batch=BATCH, max_wait_ms=20.0,
+                                 batch_sizes=sizes,
                                  expected_shape=(S, H, W))
         httpd = build_http_server(server, host="127.0.0.1", port=0)
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
 
-        print(f"[{sampler}-{steps}] warmup (compile) ...", flush=True)
+        print(f"[{sampler}-{steps}] warmup sizes {server.batch_sizes} ...",
+              flush=True)
         t0 = time.time()
-        _run_level(port, [_payload(90_000)], 1)
+        server.warmup()
         print(f"[{sampler}-{steps}] warmup {time.time()-t0:.0f}s", flush=True)
 
         for conc in CONCURRENCY:
@@ -151,6 +158,7 @@ def main():
             lats_ms = np.asarray(sorted(lats)) * 1e3
             entry = {
                 "sampler": f"{sampler}-{steps}",
+                "batch_sizes": list(server.batch_sizes),
                 "concurrency": conc,
                 "requests": n_req,
                 "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
