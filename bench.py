@@ -37,17 +37,23 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 # The JAX_COMPILATION_CACHE_DIR env var is IGNORED in this environment (same
-# trap as JAX_PLATFORMS, CLAUDE.md) — only config.update enables the cache.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# trap as JAX_PLATFORMS, CLAUDE.md) — enable_compile_cache() config.update()s
+# it into effect (env var if set, else the repo-local .jax_cache default).
+from diffusion_model_project_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
+enable_compile_cache()
 
 from diffusion_model_project_tpu.diffusion.predictor import LatentDiffusionPredictor  # noqa: E402
 
 # B=8 is the measured single-chip throughput sweet spot (B=16 OOMs 16 GB HBM)
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 DDIM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
-S, H, W = 11, 256, 256
+# BENCH_HW: spatial size for the inference bench (>=128 — the 5-level UNet
+# pools 5x). Sub-published sizes exist for smoke tests (e.g. validating the
+# BENCH_MESH path on a virtual CPU mesh, where 256^2 compiles for an hour);
+# the published benchmark is the 256 default.
+S, H = 11, int(os.environ.get("BENCH_HW", "256"))
+W = H
 
 from diffusion_model_project_tpu.utils.config import (
     PUBLISHED_UNET_KWARGS as _PUBLISHED_UNET)
@@ -57,19 +63,6 @@ from diffusion_model_project_tpu.utils.config import (
 # Conv3D VAE encode/decode at 256x256x11); at ~55 TFLOP/s effective TF32 that
 # is ~1.8 volumes/s, consistent with the reference's "~30 GB, batch 2" setup.
 REF_A100_VOLUMES_PER_SEC = 1.8
-
-
-def _sync(tree) -> float:
-    """Honest completion barrier for the axon backend.
-
-    jax.block_until_ready can return EARLY here even when iterations are
-    chained through data dependencies (measured: a 256^2 train step "timed"
-    at 3.4 ms with block_until_ready vs 295 ms with a real barrier). Only an
-    actual device->host transfer is trustworthy, so reduce one leaf to a
-    scalar on device and pull the 4 bytes.
-    """
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    return float(np.asarray(jnp.sum(leaf)).reshape(()))
 
 
 def bench_train():

@@ -51,6 +51,14 @@ class Dim:
             raise ValueError(f"{self.name}: hi {self.hi} < lo {self.lo}")
         if self.log and self.lo <= 0:
             raise ValueError(f"{self.name}: log dim needs lo > 0")
+        if self.integer and self.step < 1:
+            raise ValueError(f"{self.name}: integer step must be >= 1")
+
+    def _n_grid(self) -> int:
+        """Number of grid steps ABOVE lo that stay <= hi (floor, so a
+        misaligned range like [3, 6] step 2 yields {3, 5}, matching the
+        reference's suggest_int/randrange semantics — never 6 or 7)."""
+        return int((self.hi - self.lo) // self.step)
 
     # internal (fitting) space: log-transformed for log dims
     def _to_internal(self, x: float) -> float:
@@ -59,8 +67,11 @@ class Dim:
     def _from_internal(self, z: float) -> float:
         x = math.exp(z) if self.log else z
         if self.integer:
-            k = round((x - self.lo) / self.step)
-            x = self.lo + k * self.step
+            # clamp onto the grid, not just into [lo, hi]: plain clamping
+            # after rounding can land off-grid at a misaligned hi (e.g.
+            # kernel 6 from a [3, 6] step-2 range)
+            k = min(max(round((x - self.lo) / self.step), 0), self._n_grid())
+            return self.lo + k * self.step
         return min(max(x, self.lo), self.hi)
 
     def _bounds(self) -> Tuple[float, float]:
@@ -70,8 +81,7 @@ class Dim:
         if self.integer:
             # exact-uniform over the grid (matches the reference's
             # suggest_int; continuous-then-round would half-weight the ends)
-            n = int(round((self.hi - self.lo) / self.step))
-            return self.lo + self.step * rng.randint(0, n)
+            return self.lo + self.step * rng.randint(0, self._n_grid())
         lo, hi = self._bounds()
         return self._from_internal(rng.uniform(lo, hi))
 

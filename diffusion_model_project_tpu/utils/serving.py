@@ -285,12 +285,15 @@ class InferenceServer:
     # ------------------------------------------------------------ batcher
 
     def _loop(self) -> None:
+        held = None  # a differently-shaped request deferred to its own batch
         while True:
-            req = self._queue.get()
+            req = held or self._queue.get()
+            held = None
             if req is _SHUTDOWN:
                 self._inflight.put(_SHUTDOWN)
                 return
             batch = [req]
+            shape0 = (req.img.shape[0], *req.img.shape[2:])
             deadline = time.monotonic() + self._max_wait_s
             stop = False
             while len(batch) < self.max_batch:
@@ -304,9 +307,18 @@ class InferenceServer:
                 if nxt is _SHUTDOWN:
                     stop = True
                     break
+                # never co-batch mixed shapes: around an unproven-pin drop
+                # and re-pin, old-shape and new-shape requests can coexist
+                # in the queue; stacking them would fail BOTH (round-3
+                # review finding) — the straggler opens the next batch
+                if (nxt.img.shape[0], *nxt.img.shape[2:]) != shape0:
+                    held = nxt
+                    break
                 batch.append(nxt)
             self._dispatch_batch(batch)
             if stop:
+                if held is not None:  # straggler raced the shutdown sentinel
+                    self._dispatch_batch([held])
                 self._inflight.put(_SHUTDOWN)
                 return
 

@@ -182,6 +182,10 @@ def main():
     projection = None
     if single:
         l1 = single[0]["p50_ms"]
+        # time-weighted blend of the per-stage speedups (stage shares from
+        # the PERF.md e2e breakdown: scan 29%, conv3d prepare+decode 71%):
+        # 1 / (0.29/5.5 + 0.71/4.0)
+        speedup = round(1.0 / (0.29 / 5.5 + 0.71 / 4.0), 2)
         projection = {
             "what": "with_latent_sharding(mesh, 'slice') single-request "
                     "latency on v5e-8 — PROJECTION (one real chip here; "
@@ -196,10 +200,11 @@ def main():
                 "host/HTTP overhead (~npz decode+encode, queueing) does not "
                 "scale with chips",
             ],
-            "projected_p50_ms_v5e8": round(l1 / 4.7, 1),
-            "note": "4.7x = stage-share-weighted blend of 5.5x (scan) and "
-                    "4x (conv3d stages) from the PERF.md e2e breakdown "
-                    "(scan 29%, prepare+decode 71%)",
+            "blended_speedup": speedup,
+            "projected_p50_ms_v5e8": round(l1 / speedup, 1),
+            "note": "speedup = 1/(0.29/5.5 + 0.71/4.0), the time-weighted "
+                    "blend of the scan and conv3d stage speedups from the "
+                    "PERF.md e2e breakdown",
         }
     doc = {
         "generated_unix": time.time(),

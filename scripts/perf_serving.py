@@ -23,7 +23,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))

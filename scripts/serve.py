@@ -26,7 +26,6 @@ import threading
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def parse_args(argv=None):
@@ -108,18 +107,32 @@ def main(argv=None):
         # request happens to arrive first (round-2 advisor finding)
         expected_shape=(predictor.num_slices, args.image_size,
                         args.image_size))
-    if not args.no_warmup:
-        print(f"pre-compiling batch sizes {server.batch_sizes} ...",
-              flush=True)
-        server.warmup()
     httpd = build_http_server(server, host=args.host, port=args.port)
 
+    # handlers BEFORE warmup: a preemption signal during the minutes-long
+    # warmup compile must not hard-kill the process while it holds the
+    # (single-tenant) TPU — request a graceful stop instead and let the
+    # dispatch complete (round-3 review finding)
+    stopping = threading.Event()
+
     def _shutdown(signum, frame):
+        stopping.set()
         # shutdown() must come from another thread than serve_forever()'s
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)
+
+    if not args.no_warmup:
+        print(f"pre-compiling batch sizes {server.batch_sizes} ...",
+              flush=True)
+        server.warmup()
+    if stopping.is_set():
+        httpd.server_close()
+        server.close()
+        print("stopped during warmup; final stats:", server.stats(),
+              flush=True)
+        return
 
     print(f"serving {args.model_dir} on http://{args.host}:{httpd.server_address[1]} "
           f"({args.sampler}-{args.steps}, max_batch={args.max_batch})",

@@ -7,6 +7,7 @@ parsing, warmup, and the signal path a deployment actually exercises."""
 import io
 import json
 import os.path as osp
+import re
 import signal
 import subprocess
 import sys
@@ -22,7 +23,6 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), ".."))
 @pytest.fixture(scope="module")
 def daemon(shared_diffusion_dir, shared_stage1_dir, shared_stage2_dir,
            tmp_path_factory):
-    port = 18731
     proc = subprocess.Popen(
         [sys.executable, osp.join(REPO, "scripts", "serve.py"),
          "--model-dir", shared_diffusion_dir,
@@ -31,26 +31,29 @@ def daemon(shared_diffusion_dir, shared_stage1_dir, shared_stage2_dir,
          "--image-size", "16", "--sampler", "ddim", "--steps", "2",
          "--max-batch", "2", "--batch-sizes", "1,2",
          "--compute-dtype", "float32",
-         "--port", str(port), "--device", "cpu"],
+         "--port", "0", "--device", "cpu"],  # OS-assigned port, no collisions
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env={**__import__("os").environ,
              "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_pytest_cache"},
         cwd=REPO)
-    # wait for "serving" banner (warmup compiles the 1 and 2 programs first)
+    # the banner prints the bound port once warmup finishes:
+    #   serving <dir> on http://127.0.0.1:<port> (...)
+    banner_lines = []
     deadline = time.time() + 600
+    port = None
     while time.time() < deadline:
         if proc.poll() is not None:
-            raise RuntimeError(f"daemon died:\n{proc.stdout.read()}")
-        try:
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
-                if r.status == 200:
-                    break
-        except OSError:
-            time.sleep(1.0)
+            raise RuntimeError(
+                "daemon died:\n" + "".join(banner_lines) + proc.stdout.read())
+        line = proc.stdout.readline()
+        banner_lines.append(line)
+        m = re.search(r"on http://[^:]+:(\d+)", line)
+        if m:
+            port = int(m.group(1))
+            break
     else:
         proc.kill()
-        raise RuntimeError("daemon never became healthy")
+        raise RuntimeError("daemon never printed its banner")
     yield proc, port
     if proc.poll() is None:
         proc.kill()

@@ -132,6 +132,26 @@ def test_random_sampler_matches_reference_space_semantics():
     assert {d["levels"] for d in draws} == {2, 3, 4, 5}
 
 
+def test_misaligned_integer_range_stays_on_grid():
+    """A [3, 6] step-2 kernel range must yield only {3, 5} — the reference's
+    suggest_int(step=2)/randrange semantics — never 6 (off-grid) or 7
+    (out of range). Regression for the round-3 review finding."""
+    d = Dim("kernel_size", 3, 6, integer=True, step=2)
+    import random as pyrandom
+    rng = pyrandom.Random(0)
+    assert {d.random(rng) for _ in range(200)} == {3, 5}
+    # TPE-phase draws go through _from_internal: probe the whole range
+    assert {d._from_internal(z) for z in
+            [2.0, 3.0, 3.9, 4.1, 5.0, 5.9, 6.0, 7.5]} == {3, 5}
+    tpe = TPESampler([d, Dim("lr", 1e-4, 1e-2, log=True)], seed=0,
+                     n_startup_trials=2)
+    history = []
+    for t in range(30):
+        p = tpe.suggest(t, history)
+        assert p["kernel_size"] in (3, 5), p
+        history.append((p, (p["kernel_size"] - 3) ** 2))
+
+
 def test_duplicate_dim_names_rejected():
     with pytest.raises(ValueError, match="duplicate"):
         TPESampler([Dim("x", 0, 1), Dim("x", 0, 1)])
