@@ -23,6 +23,9 @@ CONFIGS = [
     ("ddim50_bf16_b8", {}),                                   # headline
     ("ddim50_bf16_b8_int8vae", {"BENCH_INT8": "1"}),
     ("dpm10_bf16_b8", {"BENCH_SAMPLER": "dpm", "BENCH_STEPS": "10"}),
+    # the max-throughput combination: fast sampler + int8 frozen VAE
+    ("dpm10_int8vae_b8", {"BENCH_SAMPLER": "dpm", "BENCH_STEPS": "10",
+                          "BENCH_INT8": "1"}),
     ("dpm15_bf16_b8", {"BENCH_SAMPLER": "dpm", "BENCH_STEPS": "15"}),
     ("ddim50_f32_b4", {"BENCH_DTYPE": "float32", "BENCH_BATCH": "4"}),
     ("train_bf16_b2_128", {"BENCH_MODE": "train"}),
