@@ -180,6 +180,43 @@ def test_batch_size_ladder_latency_mode(pred):
         InferenceServer(pred, batch_sizes=(0, 4))
 
 
+def test_mixed_shape_queue_never_cobatches(pred):
+    """Around an unproven-pin drop and re-pin, old-shape and new-shape
+    requests can coexist in the queue; they must land in SEPARATE batches
+    (a mixed np.stack would fail both — round-3 review finding). Here the
+    batcher is held so two different-S requests are queued together, then
+    released: both must succeed."""
+    img, v2d = _volume(4)
+    with InferenceServer(pred, num_steps=STEPS, max_batch=4,
+                         max_wait_ms=200.0) as server:
+        gate = threading.Event()
+        real_fn = server._fn
+
+        def gated(p, i, v, n):
+            gate.wait(timeout=120)
+            return real_fn(p, i, v, n)
+
+        server._fn = gated
+        # request A (S slices) starts a batch and blocks in the stub;
+        # geometry validation passes for both shapes (depth factor 1)
+        fut_a = server.submit(img, v2d, seed=1)
+        time.sleep(0.3)  # batcher now blocked inside dispatch
+        server._shape = None  # simulate the unpin window
+        fut_b = server.submit(img[:1], v2d[:1], seed=2)   # re-pins S=1
+        server._shape = (S, H, W)  # …and another original-shape request
+        fut_c = server.submit(img, v2d, seed=3)
+        gate.set()
+        a = fut_a.result(timeout=300)
+        b = fut_b.result(timeout=300)
+        c = fut_c.result(timeout=300)
+    assert a.shape == (S, 3, H, W)
+    assert b.shape == (1, 3, H, W)
+    assert c.shape == (S, 3, H, W)
+    assert server.stats()["errors"] == 0
+    # the S=1 straggler got its own dispatch: 3 batches, not 2
+    assert server.stats()["batches"] == 3
+
+
 def test_warmup_requires_pinned_shape(pred):
     with InferenceServer(pred, num_steps=STEPS) as server:
         with pytest.raises(RuntimeError, match="expected_shape"):
