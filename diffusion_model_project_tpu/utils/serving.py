@@ -34,6 +34,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
@@ -137,6 +138,10 @@ class InferenceServer:
             self._pinned_by_config = True
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
                        "errors": 0, "rejected": 0}
+        # dispatch->completion wall time of the last 100 batches (includes
+        # the device scan AND the result transfer) — the operator-facing
+        # half of per-request latency, surfaced via stats()/healthz
+        self._batch_ms = deque(maxlen=100)
         self._closed = False
         # two-stage pipeline: the batcher thread collects + DISPATCHES
         # (async — jax returns device futures), the completion thread blocks
@@ -245,9 +250,19 @@ class InferenceServer:
 
     def stats(self) -> dict:
         with self._lock:
-            return dict(self._stats, queue_depth=self._queue.qsize(),
-                        sampler=self.sampler, num_steps=self.num_steps,
-                        max_batch=self.max_batch)
+            out = dict(self._stats, queue_depth=self._queue.qsize(),
+                       sampler=self.sampler, num_steps=self.num_steps,
+                       max_batch=self.max_batch)
+            if self._batch_ms:
+                ms = sorted(self._batch_ms)
+                out["batch_ms"] = {
+                    "p50": round(ms[len(ms) // 2], 1),
+                    "p99": round(ms[min(len(ms) - 1,
+                                        int(len(ms) * 0.99))], 1),
+                    "max": round(ms[-1], 1),
+                    "window": len(ms),
+                }
+            return out
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting requests, drain everything queued, join.
@@ -354,7 +369,7 @@ class InferenceServer:
         except Exception as exc:
             self._deliver_failure(batch, exc)
             return
-        self._inflight.put((out_dev, batch, size - true_n))
+        self._inflight.put((out_dev, batch, size - true_n, time.monotonic()))
 
     def _completion_loop(self) -> None:
         """Stage 2: block on each in-flight batch's device->host transfer
@@ -363,7 +378,7 @@ class InferenceServer:
             item = self._inflight.get()
             if item is _SHUTDOWN:
                 return
-            out_dev, batch, n_padded = item
+            out_dev, batch, n_padded, t_dispatch = item
             try:
                 out = np.asarray(out_dev)
             except Exception as exc:  # execution failure surfaces at fetch
@@ -372,6 +387,7 @@ class InferenceServer:
             with self._lock:
                 self._stats["batches"] += 1
                 self._stats["padded_slots"] += n_padded
+                self._batch_ms.append((time.monotonic() - t_dispatch) * 1e3)
                 self._shape_proven = True
             for i, r in enumerate(batch):
                 if not r.future.cancelled():

@@ -86,6 +86,9 @@ def test_single_request_is_padded_not_retraced(pred):
         stats = server.stats()
     assert stats["batches"] == 1
     assert stats["padded_slots"] == 3  # padded to the one compiled shape
+    # operator-facing dispatch->completion latency window (healthz)
+    assert stats["batch_ms"]["window"] == 1
+    assert stats["batch_ms"]["p50"] > 0
     np.testing.assert_allclose(got, _direct(pred, img, v2d, seed=42),
                                rtol=1e-5, atol=1e-6)
 
