@@ -27,6 +27,11 @@ import numpy as np
 import pytest
 import torch
 
+# Published-architecture CPU compute — the same wall-clock class as the
+# parity gate (tests/test_published_scale_parity.py), so the same slow
+# marker: the full job (`pytest -m ""`) runs it every round.
+pytestmark = pytest.mark.slow
+
 PUBLISHED_DIRNAME = (
     "20260120_unet_latent-diffusion_in-17-out-8-f-5-k-3-p-zeros-a-3..2"
     "-dr-0.0-wd-0.00e+00-b-2-lr-1.00e-03-ep-104")
