@@ -16,9 +16,15 @@ effective) — the north-star target is R >= 10. Sensitivity: at 50% assumed
 utilization the denominator is 2.6 vol/s (scale R by 0.70); at 70%, 3.6 vol/s
 (scale by 0.50) — see PERF.md "A100-estimate sensitivity" for the table.
 
-Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_DTYPE, BENCH_PALLAS;
-BENCH_MODE=train reports diffusion training-step throughput instead
-(volumes/s through the jitted Adam step at grid-search dry-run scale).
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_DTYPE, BENCH_PALLAS, BENCH_HW,
+BENCH_ITERS, BENCH_INT8[_UNET], BENCH_SAMPLER, BENCH_MESH;
+BENCH_MODE=train reports diffusion training-step throughput
+(BENCH_TRAIN_HW=256 BENCH_BATCH=2 = published scale; BENCH_TRAIN_PHYSICS=1
+adds the physics losses); BENCH_MODE=train_vae1|train_vae2 report the
+stage-1/stage-2 VAE grad steps. Timing: one jitted lax.scan with every
+input chained through the carry, closed by a scalar fetch — the only loop
+shape the axon backend measures honestly (PERF.md "Measurement
+methodology").
 """
 import json
 import os
