@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import queue
 import threading
 import time
@@ -255,10 +256,12 @@ class InferenceServer:
                        max_batch=self.max_batch)
             if self._batch_ms:
                 ms = sorted(self._batch_ms)
+                # nearest-rank p99: ceil(0.99n)-1 (int(0.99n) is n-1 for
+                # every n <= 100, which would just alias max)
+                p99_idx = max(0, math.ceil(0.99 * len(ms)) - 1)
                 out["batch_ms"] = {
                     "p50": round(ms[len(ms) // 2], 1),
-                    "p99": round(ms[min(len(ms) - 1,
-                                        int(len(ms) * 0.99))], 1),
+                    "p99": round(ms[p99_idx], 1),
                     "max": round(ms[-1], 1),
                     "window": len(ms),
                 }
