@@ -217,6 +217,8 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
     print("=" * 60 + "\nSTAGE 1: Training 3D VAE Only\n" + "=" * 60)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     if not os.path.exists(args.dataset_dir):
         print(f"ERROR: Dataset directory not found: {args.dataset_dir}")

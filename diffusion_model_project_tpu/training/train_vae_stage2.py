@@ -224,6 +224,8 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
     print("=" * 60 + "\nSTAGE 2: Training E2D + D2D with alignment + cross\n" + "=" * 60)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if not os.path.exists(args.stage1_checkpoint):
         print(f"ERROR: Stage 1 checkpoint not found: {args.stage1_checkpoint}")
         sys.exit(1)

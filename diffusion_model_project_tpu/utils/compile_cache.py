@@ -18,10 +18,15 @@ def enable_compile_cache(path: str | None = None, *,
     Resolution order: explicit ``path`` arg > ``JAX_COMPILATION_CACHE_DIR``
     env var > the repo-local ``.jax_cache/`` next to the package (which
     survives between a builder session that pre-warms it and a later driver
-    run — /tmp need not). Returns the directory used.
+    run — /tmp need not). A cache dir that is ALREADY configured in-process
+    (e.g. tests/conftest.py's pytest cache before a CLI main() is invoked
+    in-process) is respected and returned unchanged unless ``path`` is
+    explicit. Returns the directory used.
     """
     import jax
 
+    if path is None and jax.config.jax_compilation_cache_dir is not None:
+        return jax.config.jax_compilation_cache_dir
     if path is None:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if path is None:

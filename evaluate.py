@@ -40,6 +40,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     model_dir = args.model_dir or get_latest_model_dir(args.save_dir)
     with open(osp.join(model_dir, "log.json")) as f:

@@ -171,6 +171,8 @@ def main(argv=None):
     if args.device:
         import jax
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     os.makedirs(args.save_dir, exist_ok=True)
     results_csv = osp.join(args.save_dir, "results.csv")

@@ -122,6 +122,8 @@ def main(argv=None):
     import jax.numpy as jnp
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from diffusion_model_project_tpu.utils.checkpoint import predictor_from_directory
 

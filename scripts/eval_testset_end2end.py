@@ -379,6 +379,8 @@ def main(argv=None):
     if args.device:
         # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
     from diffusion_model_project_tpu.data import get_loader

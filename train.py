@@ -24,6 +24,8 @@ def main(argv=None):
         # the axon TPU plugin ignores JAX_PLATFORMS; select explicitly
         import jax
         jax.config.update("jax_platforms", args.device)
+    from diffusion_model_project_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     # multi-host: must run before the backend initializes
     from diffusion_model_project_tpu.parallel import initialize_distributed
     if initialize_distributed(args.coordinator, args.num_processes,
