@@ -598,7 +598,10 @@ class NumpyLoader:
 
 def _subset(dataset: MicroFlowDataset, indices: Sequence[int], augment: bool,
             save_stats: bool) -> MicroFlowDataset:
-    new_data = {k: v[np.asarray(indices)] for k, v in dataset.data.items()}
+    # dtype pinned: an empty split (tiny datasets) would otherwise produce a
+    # float64 index array, which numpy rejects
+    idx = np.asarray(indices, dtype=np.int64)
+    new_data = {k: v[idx] for k, v in dataset.data.items()}
     return MicroFlowDataset(
         root_dir=dataset.root_dir, augment=augment, use_3d=dataset.use_3d,
         data=new_data, save_stats=save_stats,

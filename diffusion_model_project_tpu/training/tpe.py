@@ -163,7 +163,12 @@ class TPESampler:
                 ) -> Dict[str, float]:
         rng = self._rng(trial_idx)
         obs = [(p, v) for p, v in history if v == v and math.isfinite(v)]
-        if trial_idx < self.n_startup_trials or len(obs) < 2:
+        # startup counts FINITE finished trials, matching Optuna's
+        # n_startup_trials=10-completed semantics: with many pruned/NaN
+        # trials, gating on raw trial_idx would start fitting on as few as
+        # 2 observations (round-3 advisor finding). Still pure in
+        # (seed, trial_idx, history) — resume re-draws identically.
+        if len(obs) < max(self.n_startup_trials, 2):
             return {d.name: d.random(rng) for d in self.space}
 
         obs.sort(key=lambda pv: pv[1])

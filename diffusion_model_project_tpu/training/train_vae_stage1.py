@@ -285,6 +285,9 @@ def main(argv=None):
         "norm_factors": norm_factors.tolist(),
         "conditional": False,  # stage 1 overrides conditional to False
         "loss_function": args.loss_function,
+        # extension: per-epoch wall seconds (diffusion log.json has "time";
+        # the reference vae_log has none) — feeds the epoch-scale bench
+        "epoch_time": [],
     }
     best_val_loss = float("inf")
     rng = jax.random.key(args.seed + 1)
@@ -324,6 +327,7 @@ def main(argv=None):
             prev = json.load(f)
         for key in log_dict["loss"]:
             log_dict["loss"][key] = prev["loss"].get(key, [])[:start_epoch]
+        log_dict["epoch_time"] = prev.get("epoch_time", [])[:start_epoch]
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
@@ -429,6 +433,7 @@ def main(argv=None):
             log_dict["loss"]["recons_val"].append(avg_recons_val)
             log_dict["loss"]["kl_val"].append(avg_kl_val)
             log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            log_dict["epoch_time"].append(time.time() - t0)
             tb.add_scalars(
                 epoch, {k: v[-1] for k, v in log_dict["loss"].items()},
                 prefix="loss/")

@@ -295,6 +295,8 @@ def main(argv=None):
         "lambda_cross": args.lambda_cross,
         "beta_kl": args.beta_kl,
         "loss_function": args.loss_function,
+        # extension: per-epoch wall seconds (see train_vae_stage1.py)
+        "epoch_time": [],
     }
     best_val_loss = float("inf")
 
@@ -331,6 +333,7 @@ def main(argv=None):
             prev = json.load(f)
         for key in log_dict["loss"]:
             log_dict["loss"][key] = prev["loss"].get(key, [])[:start_epoch]
+        log_dict["epoch_time"] = prev.get("epoch_time", [])[:start_epoch]
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
@@ -416,6 +419,7 @@ def main(argv=None):
                 log_dict["loss"][f"{log_key}_train"].append(running[k] / num_train)
                 log_dict["loss"][f"{log_key}_val"].append(val[k] / num_val)
             log_dict["loss"]["kl_coeff"].append(kl_coeff)
+            log_dict["epoch_time"].append(time.time() - t0)
             tb.add_scalars(
                 epoch, {k: v[-1] for k, v in log_dict["loss"].items()},
                 prefix="loss/")

@@ -108,7 +108,10 @@ def _tunnel_bandwidth():
     np.asarray(dev)
     t0 = time.perf_counter()
     dev = jnp.asarray(arr)
-    dev.block_until_ready()
+    # block_until_ready returns EARLY on this backend (CLAUDE.md) — close
+    # the h2d window with a real barrier: a device reduction fetched to host
+    # (1 scalar of d2h, negligible vs the 100 MB h2d) (round-3 advisor)
+    float(dev.sum())
     h2d = time.perf_counter() - t0
     t0 = time.perf_counter()
     np.asarray(dev)

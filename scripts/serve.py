@@ -41,7 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--image-size", type=int, default=256,
                    help="Square volume H=W the server compiles for")
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=None,
+                   help="Coalescing cap when --batch-sizes is not given "
+                        "(default 8). With --batch-sizes, the ladder's max "
+                        "IS the cap; passing a disagreeing --max-batch is "
+                        "an error rather than a silent override")
     p.add_argument("--batch-sizes", default=None,
                    help="Comma-separated ladder of compiled batch shapes, "
                         "e.g. '1,8': lone requests run the B=1 program "
@@ -134,8 +138,10 @@ def main(argv=None):
               flush=True)
         return
 
+    # server.max_batch, not args.max_batch: with --batch-sizes the ladder's
+    # top is the real coalescing cap (round-3 advisor finding)
     print(f"serving {args.model_dir} on http://{args.host}:{httpd.server_address[1]} "
-          f"({args.sampler}-{args.steps}, max_batch={args.max_batch})",
+          f"({args.sampler}-{args.steps}, max_batch={server.max_batch})",
           flush=True)
     try:
         httpd.serve_forever()
