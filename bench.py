@@ -260,6 +260,37 @@ def bench_train_vae(stage: int):
     }))
 
 
+def make_timing_loop(one, n_iters: int, *, chain_inputs: bool = True):
+    """The canonical honest timing loop (PERF.md "Measurement methodology"):
+    a single jitted ``lax.scan`` of ``one(pred, img, v2d, rng)`` that
+
+      1. returns a SCALAR derived from every iteration's output — fetching
+         it (``float(np.asarray(loop(...)))``) is a device->host transfer,
+         the only real barrier on this backend (hazard #1:
+         block_until_ready returns early);
+      2. chains EVERY input through the scan carry (``img + carry*0``) so no
+         pipeline stage is loop-invariant (hazard #2: XLA hoists an
+         unchained conditioning encode out of the scan and the measurement
+         silently drops that stage).
+
+    ``chain_inputs=False`` exists ONLY for tests/test_bench_guard.py, which
+    proves hazard #2 is real by counting the convolutions left inside the
+    compiled loop body when inputs are not chained."""
+    @jax.jit
+    def loop(pred, img, v2d, key):
+        def body(carry, k):
+            z = carry if chain_inputs else jnp.float32(0)
+            out = one(pred, img + z * 0, v2d + z * 0,
+                      jax.random.fold_in(key, k))
+            return out.ravel()[0].astype(jnp.float32), jnp.sum(
+                jnp.isfinite(out)).astype(jnp.float32)
+        c, finite_counts = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(n_iters))
+        return c * 0 + finite_counts.min()
+
+    return loop
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "infer")
     if mode == "train_vae1":
@@ -337,16 +368,7 @@ def main():
     # a ~30% stage of the pipeline from the measurement (observed: 9.28
     # "vol/s" with v2d unchained vs ~7 with it chained — serving always pays
     # the encode, so the chained number is the honest one).
-    @jax.jit
-    def loop(pred, img, v2d, key):
-        def body(carry, k):
-            out = one(pred, img + carry * 0, v2d + carry * 0,
-                      jax.random.fold_in(key, k))
-            return out.ravel()[0].astype(jnp.float32), jnp.sum(
-                jnp.isfinite(out)).astype(jnp.float32)
-        c, finite_counts = jax.lax.scan(
-            body, jnp.float32(0), jnp.arange(n_iters))
-        return c * 0 + finite_counts.min()
+    loop = make_timing_loop(one, n_iters)
 
     print(
         f"[bench] compiling e2e {sampler}-{DDIM_STEPS} B={BATCH} x{n_iters} "

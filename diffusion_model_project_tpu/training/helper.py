@@ -15,6 +15,7 @@ import json
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..losses.physics import PhysicsLoss
@@ -261,3 +262,97 @@ def run_epoch(
     # so log.json keeps the exact reference key set
     all_metrics = {**acc, **{f"loss_{k}": v for k, v in phys_components.items()}}
     return predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics
+
+
+def build_latent_cache(loaders, predictor, *, verbose: bool = True):
+    """One pass over (train_loader, val_loader) through the frozen VAE ->
+    device-resident latent caches for --cache-latents (see
+    training/steps.py::precompute_latent_cache). Returns (train_cache,
+    val_cache): dicts of stacked device arrays keyed x0/z/m."""
+    import jax as _jax
+    from .steps import precompute_latent_cache
+
+    fn = _jax.jit(precompute_latent_cache)
+    out = []
+    for name, loader in zip(("train", "val"), loaders):
+        parts = []
+        for data in loader:
+            (img, v2d), targets = select_input_output(data)
+            parts.append(fn(predictor,
+                            {"img": img, "U_2d": v2d, "U": targets}))
+        cache = {k: jnp.concatenate([p[k] for p in parts], axis=0)
+                 for k in parts[0]}
+        if verbose:
+            n = cache["x0"].shape[0]
+            mb = sum(v.size * v.dtype.itemsize for v in cache.values()) / 2**20
+            print(f"  latent cache [{name}]: {n} samples, {mb:.0f} MB "
+                  f"device-resident")
+        out.append(cache)
+    return tuple(out)
+
+
+def run_epoch_cached(
+    caches,
+    predictor,
+    opt_state,
+    optimizer,
+    *,
+    rng: jax.Array,
+    batch_size: int,
+    cost_name: str = "normalized_mse_loss_per_component",
+    _step_cache: Optional[dict] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
+):
+    """Cached-latent counterpart of run_epoch (plain configuration only:
+    no physics, no velocity, no augmentation — the trainer validates).
+
+    The whole epoch touches no host memory: the per-epoch shuffle is a
+    device-side jax.random.permutation of the cache rows, batches are
+    device gathers, and the only host sync is the one device_get of the
+    accumulated aux scalars at the end. Returns the same 5-tuple as
+    run_epoch with empty physics metrics."""
+    train_cache, val_cache = caches
+    cache = _step_cache if _step_cache is not None else {}
+    if "train_latent" not in cache:
+        from .steps import (make_cached_latent_eval_step,
+                            make_cached_latent_train_step)
+        donate = () if jax.config.jax_debug_nans else (0, 1)
+        cache["train_latent"] = jax.jit(make_cached_latent_train_step(
+            optimizer, cost_name=cost_name), donate_argnums=donate)
+        cache["eval_latent"] = jax.jit(
+            make_cached_latent_eval_step(cost_name=cost_name))
+
+    n = int(train_cache["x0"].shape[0])
+    rng, perm_rng = jax.random.split(rng)
+    perm = jax.random.permutation(perm_rng, n)  # device-side shuffle
+    auxes = []
+    for k in range(0, n, batch_size):
+        if should_stop is not None and should_stop():
+            from ..utils.preempt import PreemptStop
+            raise PreemptStop(f"stop requested at cached train batch "
+                              f"{k // batch_size}")
+        idx = perm[k:k + batch_size]
+        batch = {key: jnp.take(v, idx, axis=0)
+                 for key, v in train_cache.items()}
+        rng, step_rng = jax.random.split(rng)
+        predictor, opt_state, aux = cache["train_latent"](
+            predictor, opt_state, batch, step_rng)
+        auxes.append(aux)
+    num_train = len(auxes)
+    running = sum(float(a["primary_loss"]) for a in jax.device_get(auxes))
+    avg_train_loss = running / max(num_train, 1)
+
+    m = int(val_cache["x0"].shape[0])
+    val_metricses = []
+    for k in range(0, m, batch_size):
+        if should_stop is not None and should_stop():
+            from ..utils.preempt import PreemptStop
+            raise PreemptStop(f"stop requested at cached val batch "
+                              f"{k // batch_size}")
+        batch = {key: v[k:k + batch_size] for key, v in val_cache.items()}
+        rng, step_rng = jax.random.split(rng)
+        val_metricses.append(cache["eval_latent"](predictor, batch, step_rng))
+    val_loss = sum(float(mm["val_loss"])
+                   for mm in jax.device_get(val_metricses))
+    avg_val_loss = val_loss / max(len(val_metricses), 1)
+    return predictor, opt_state, avg_train_loss, avg_val_loss, {}

@@ -201,3 +201,118 @@ def make_diffusion_eval_step(
         return metrics
 
     return eval_step
+
+
+# --------------------------------------------------------------------------
+# Cached-latent training (--cache-latents): the VAE is FROZEN during
+# diffusion training (reference predictor.py:604-607), so every sample's
+# target latents x0 = E3D(U) and conditioning (z_cond = E2D(U_2d), m_cond =
+# EDT+resized mask) are CONSTANT across epochs. The reference recomputes them
+# per batch (helper.py:277-447) because torch has nowhere to keep them; on
+# TPU we encode ONCE, keep the latents device-resident (~3 MB/sample at
+# published scale vs ~40 MB of raw volumes re-uploaded per epoch), and every
+# later epoch is pure UNet compute with zero host->device traffic. Through
+# the tunneled single-chip setup this turns a ~60 s transfer-bound epoch
+# into a ~seconds compute-bound one; on a co-located host it still removes
+# the per-epoch VAE encodes (~40% of the plain step, BENCH_MATRIX).
+#
+# Equivalence: cached_latent_loss_fn splits its rng exactly like
+# predictor.forward (r_noise, r_t), draws over the same channels-last
+# shapes, and runs the same q_sample -> UNet -> cost pipeline, so given the
+# same params/batch/rng it reproduces diffusion_loss_fn BITWISE
+# (tests/test_cached_latents.py). Not supported (the trainer falls back /
+# errors): physics or velocity losses (they decode full-res velocity every
+# step) and flip augmentation (latents of flipped volumes are not flips of
+# latents — they would need a 4-variant cache).
+# --------------------------------------------------------------------------
+
+
+def precompute_latent_cache(predictor, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """One frozen-VAE encode pass over a raw batch -> per-sample cached
+    tensors, all channels-last: x0 (B, ld, lh, lw, C), z (B, ld, lh, lw, C),
+    m (B, ld, lh, lw, 1). Jit this and map it over the dataset once."""
+    x_start = predictor.encode_target(batch["U"])          # (B,S,C,lh,lw) cf
+    z_flat, m_flat = predictor.prepare_conditioning(batch["img"], batch["U_2d"])
+    b, ld = x_start.shape[0], x_start.shape[1]
+    lh, lw = x_start.shape[-2:]
+    c = predictor.latent_channels
+    x0 = jnp.moveaxis(x_start, 2, -1)                      # -> (B,ld,lh,lw,C)
+    return {
+        "x0": x0,
+        "z": z_flat.reshape(b, ld, lh, lw, c),
+        "m": m_flat.reshape(b, ld, lh, lw, m_flat.shape[-1]),
+    }
+
+
+def cached_latent_loss_fn(
+    unet_params,
+    predictor: LatentDiffusionPredictor,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    cost_name: str = "normalized_mse_loss_per_component",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """batch keys: 'x0'/'z' (B, ld, lh, lw, C), 'm' (B, ld, lh, lw, 1) from
+    precompute_latent_cache. Reproduces diffusion_loss_fn bitwise for the
+    plain (no physics / no velocity) configuration."""
+    pred = dataclasses.replace(predictor, unet_params=unet_params)
+    cost = cost_function(cost_name)
+    x0, z, m = batch["x0"], batch["z"], batch["m"]
+    b, ld = x0.shape[0], x0.shape[1]
+    flat = lambda a: a.reshape((b * ld,) + a.shape[2:])
+    x0f, zf, mf = flat(x0), flat(z), flat(m)
+    # same split order and shapes as predictor.forward -> identical draws
+    r_noise, r_t = jax.random.split(rng)
+    noise = jax.random.normal(r_noise, x0f.shape, x0f.dtype)
+    t = jax.random.randint(r_t, (b * ld,), 0, pred.num_timesteps)
+    x_t = pred.scheduler.q_sample(x0f, t, noise)
+    eps_pred = pred._unet_eps(x_t, zf, mf, t)
+    loss = cost(_cl_to_cf(eps_pred), _cl_to_cf(noise))
+    sg = jax.lax.stop_gradient
+    aux = {"noise_loss": sg(loss), "primary_loss": sg(loss), "loss": sg(loss)}
+    return loss, aux
+
+
+def make_cached_latent_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    cost_name: str = "normalized_mse_loss_per_component",
+) -> Callable:
+    """train_step(predictor, opt_state, cached_batch, rng) -> (predictor',
+    opt_state', aux) over device-resident latents."""
+    grad_fn = jax.value_and_grad(
+        partial(cached_latent_loss_fn, cost_name=cost_name), has_aux=True)
+
+    def train_step(predictor, opt_state, batch, rng):
+        from ..models.layers import train_trace
+
+        if getattr(predictor, "unet_int8", False) or getattr(predictor, "vae_int8", False):
+            raise ValueError(
+                "Training through an int8 predictor would yield zero "
+                "gradients through the round/clip quantizers; disable int8 "
+                "for training.")
+        with train_trace():
+            (_, aux), grads = grad_fn(
+                predictor.unet_params, predictor, batch, rng)
+            updates, new_opt = optimizer.update(
+                grads, opt_state, predictor.unet_params)
+            new_params = optax.apply_updates(predictor.unet_params, updates)
+            return (dataclasses.replace(predictor, unet_params=new_params),
+                    new_opt, aux)
+
+    return train_step
+
+
+def make_cached_latent_eval_step(
+    *,
+    cost_name: str = "normalized_mse_loss_per_component",
+) -> Callable:
+    """Validation loss over cached latents (same quantity the regular eval
+    step computes for the plain configuration)."""
+    def eval_step(predictor, batch, rng):
+        _, aux = cached_latent_loss_fn(
+            predictor.unet_params, predictor, batch, rng,
+            cost_name=cost_name)
+        return {"val_loss": aux["noise_loss"]}
+
+    return eval_step

@@ -234,6 +234,38 @@ def train(
                 predictor = shard_predictor_fsdp(predictor, mesh)
                 print("Re-sharded restored weights FSDP over the data axis")
 
+    # --cache-latents: the VAE is frozen, so target/conditioning latents are
+    # constant across epochs — encode the dataset ONCE into device-resident
+    # caches and run pure-UNet epochs with zero host->device traffic (see
+    # training/steps.py cached-latent block for the design + equivalence)
+    cache_latents = bool(getattr(args, "cache_latents", False))
+    latent_caches = None
+    if cache_latents:
+        if (td["lambda_div"] or td["lambda_flow"] or td["lambda_smooth"]
+                or td["lambda_laplacian"] or td["lambda_velocity"]
+                or td["velocity_loss_primary"]):
+            raise ValueError(
+                "--cache-latents supports the plain noise-prediction "
+                "configuration only: physics/velocity losses decode full-"
+                "resolution velocity every step and need the raw volumes")
+        if any(getattr(getattr(ld_, "dataset", None), "augment", False)
+               for ld_ in (train_loader, val_loader)):
+            raise ValueError(
+                "--cache-latents is incompatible with --augment: latents of "
+                "flipped volumes are not flips of latents (a flip-variant "
+                "cache is future work); drop one of the flags")
+        if mesh is not None:
+            raise ValueError(
+                "--cache-latents currently runs single-device; pass "
+                "--data-parallel false (multi-chip training uses the "
+                "regular per-batch path)")
+        t_cache = time.time()
+        from .helper import build_latent_cache
+        latent_caches = build_latent_cache(
+            (train_loader, val_loader), predictor)
+        print(f"Latent caches built in {time.time() - t_cache:.1f}s "
+              f"(one-time frozen-VAE encode pass)")
+
     model_path = osp.join(log_folder, "model.msgpack")
     best_model_path = osp.join(log_folder, "best_model.msgpack")
     log_path = osp.join(log_folder, "log.json")
@@ -275,20 +307,36 @@ def train(
             profile_ctx = profile_trace(args.profile_dir)
             profile_ctx.__enter__()
         try:
-            predictor, opt_state, avg_train_loss, avg_val_loss, physics_metrics = run_epoch(
-                (train_loader, val_loader), predictor, opt_state, optimizer,
-                rng=epoch_rng,
-                cost_name=td["cost_function"],
-                lambda_div=td["lambda_div"], lambda_flow=td["lambda_flow"],
-                lambda_smooth=td["lambda_smooth"], lambda_laplacian=td["lambda_laplacian"],
-                physics_loss_freq=td["physics_loss_freq"],
-                lambda_velocity=td["lambda_velocity"],
-                weight_u=td["weight_u"], weight_v=td["weight_v"], weight_w=td["weight_w"],
-                velocity_loss_primary=td["velocity_loss_primary"],
-                _step_cache=step_cache,
-                mesh=mesh,
-                should_stop=should_stop,
-            )
+            if cache_latents:
+                from .helper import run_epoch_cached
+                predictor, opt_state, avg_train_loss, avg_val_loss, \
+                    physics_metrics = run_epoch_cached(
+                        latent_caches, predictor, opt_state, optimizer,
+                        rng=epoch_rng,
+                        batch_size=param_dict["dataset"]["batch_size"],
+                        cost_name=td["cost_function"],
+                        _step_cache=step_cache,
+                        should_stop=should_stop,
+                    )
+            else:
+                predictor, opt_state, avg_train_loss, avg_val_loss, \
+                    physics_metrics = run_epoch(
+                        (train_loader, val_loader), predictor, opt_state,
+                        optimizer, rng=epoch_rng,
+                        cost_name=td["cost_function"],
+                        lambda_div=td["lambda_div"],
+                        lambda_flow=td["lambda_flow"],
+                        lambda_smooth=td["lambda_smooth"],
+                        lambda_laplacian=td["lambda_laplacian"],
+                        physics_loss_freq=td["physics_loss_freq"],
+                        lambda_velocity=td["lambda_velocity"],
+                        weight_u=td["weight_u"], weight_v=td["weight_v"],
+                        weight_w=td["weight_w"],
+                        velocity_loss_primary=td["velocity_loss_primary"],
+                        _step_cache=step_cache,
+                        mesh=mesh,
+                        should_stop=should_stop,
+                    )
         except PreemptStop as e:
             print(f"Epoch {epoch} abandoned ({e}); state is at epoch "
                   f"{epoch - 1 if epoch else 'none (no epoch completed)'}")

@@ -133,6 +133,12 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Track an exponential moving average of the UNet weights "
                                   "(saved per epoch as ema_model.msgpack; 0 = off). "
                                   "Standard diffusion practice the reference lacks.")
+    group_train.add_argument("--cache-latents", type=str_to_bool, default=False,
+                             help="Encode the dataset through the frozen VAE ONCE and train "
+                                  "the UNet on device-resident latents: zero per-epoch "
+                                  "host->device traffic and no repeated VAE encodes. Plain "
+                                  "noise-prediction config only (no physics/velocity losses, "
+                                  "no --augment); single-device.")
     group_train.add_argument("--data-parallel", type=str_to_bool, default=True,
                              help="Enter a 1-D 'data' mesh over all visible devices "
                                   "(the TPU-native torch.nn.DataParallel replacement). "

@@ -21,14 +21,22 @@ import time
 
 import numpy as np
 
+FEATURE_STACKS = ([32, 64, 128, 256], [64, 128, 256, 512],
+                  [32, 64, 128, 256, 512], [64, 128, 256, 512, 1024])
+
 GRID = []
-for features in ([32, 64, 128, 256], [64, 128, 256, 512],
-                 [32, 64, 128, 256, 512], [64, 128, 256, 512, 1024]):
+for features in FEATURE_STACKS:
     for lr in (1e-3, 5e-4, 1e-4, 5e-5):
         GRID.append({
             "features": features, "learning_rate": lr, "kernel_size": 3,
             "attention": "3..2", "dropout": 0.0, "time_embedding_dim": 64,
         })
+
+
+def _fixed_cfg(features, learning_rate):
+    return {"features": list(features), "learning_rate": float(learning_rate),
+            "kernel_size": 3, "attention": "3..2", "dropout": 0.0,
+            "time_embedding_dim": 64}
 
 
 def run_name(cfg: dict) -> str:
@@ -66,15 +74,16 @@ def append_result(results_csv: str, row: dict) -> None:
         writer.writerow(row)
 
 
-def train_single_config(cfg, args) -> dict:
+def train_single_config(cfg, args, name: str = None) -> dict:
     from diffusion_model_project_tpu.utils.config import parser as train_parser
     from diffusion_model_project_tpu.training.train_diffusion import train
     from diffusion_model_project_tpu.data import get_loader
 
+    name = name or run_name(cfg)
     argv = [
         "--root-dir", args.root_dir,
-        "--save-dir", osp.join(args.save_dir, run_name(cfg)),
-        "--name", run_name(cfg),
+        "--save-dir", osp.join(args.save_dir, name),
+        "--name", name,
         "--in-channels", str(args.in_channels),
         "--out-channels", str(args.out_channels),
         "--features", *[str(f) for f in cfg["features"]],
@@ -115,9 +124,9 @@ def train_single_config(cfg, args) -> dict:
     from diffusion_model_project_tpu.training.train_diffusion import (
         find_resumable_run)
     targs.resume, _ = find_resumable_run(
-        osp.join(args.save_dir, run_name(cfg), "*"))
+        osp.join(args.save_dir, name, "*"))
     if targs.resume:
-        print(f"[resume] {run_name(cfg)} from {targs.resume}")
+        print(f"[resume] {name} from {targs.resume}")
 
     train_loader, val_loader, test_loader = get_loader(
         root_dir=args.root_dir, batch_size=args.batch_size, shuffle=True,
@@ -125,7 +134,7 @@ def train_single_config(cfg, args) -> dict:
     t0 = time.time()
     train_loss, val_loss = train(targs, train_loader, val_loader, test_loader)
     return {
-        "run_name": run_name(cfg),
+        "run_name": name,
         "features": json.dumps(cfg["features"]),
         "learning_rate": cfg["learning_rate"],
         "train_loss": train_loss,
@@ -167,6 +176,15 @@ def main(argv=None):
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--grid-index", type=int, default=None,
                         help="Run only this grid entry (for sharding across hosts)")
+    parser.add_argument("--algo", choices=("grid", "tpe"), default="grid",
+                        help="grid = the reference's 16-combo sweep; tpe = "
+                             "TPE (training/tpe.py) over the same (feature-"
+                             "stack, log-lr) space under the same results.csv "
+                             "resume contract (VERDICT r3 item 7)")
+    parser.add_argument("--n-trials", type=int, default=16,
+                        help="TPE trial budget (--algo tpe; default = the "
+                             "grid's combo count)")
+    parser.add_argument("--tpe-seed", type=int, default=2024)
     args = parser.parse_args(argv)
     if args.device:
         import jax
@@ -177,6 +195,12 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     results_csv = osp.join(args.save_dir, "results.csv")
     completed = load_completed(results_csv)
+
+    if args.algo == "tpe":
+        run_tpe_search(args, results_csv, completed)
+        create_top10_report(results_csv, args.save_dir)
+        return
+
     print(f"Grid: {len(GRID)} configs; {len(completed)} already completed (resume)")
 
     grid = GRID if args.grid_index is None else [GRID[args.grid_index]]
@@ -190,6 +214,52 @@ def main(argv=None):
         append_result(results_csv, row)
 
     create_top10_report(results_csv, args.save_dir)
+
+
+def _completed_values(results_csv: str) -> dict:
+    if not osp.exists(results_csv):
+        return {}
+    with open(results_csv) as f:
+        return {row["run_name"]: float(row["val_loss"])
+                for row in csv.DictReader(f)}
+
+
+def run_tpe_search(args, results_csv: str, completed: set) -> None:
+    """TPE over (feature-stack index, log-uniform lr) with crash-safe resume.
+
+    Resume needs NO stored sampler state: suggest(t, history) is pure in
+    (seed, trial, history) (training/tpe.py), so the loop REPLAYS trials
+    0..t-1 — each draw re-derives the same params, its run name looks up the
+    recorded val_loss in results.csv, and the first name missing from the
+    ledger is the next trial to run. Identical redraws are asserted in
+    tests/test_gridsearch.py. A mid-trial crash resumes full-state through
+    the same find_resumable_run path as the grid."""
+    from diffusion_model_project_tpu.training.tpe import Dim, TPESampler
+
+    space = [
+        Dim("fidx", 0, len(FEATURE_STACKS) - 1, integer=True),
+        Dim("learning_rate", 5e-5, 1e-3, log=True),
+    ]
+    sampler = TPESampler(space, seed=args.tpe_seed,
+                         n_startup_trials=max(2, args.n_trials // 3))
+    values = _completed_values(results_csv)
+    print(f"TPE: {args.n_trials} trials; {len(completed)} rows already in "
+          f"the ledger (resume)")
+
+    history = []
+    for t in range(args.n_trials):
+        params = sampler.suggest(t, history)
+        cfg = _fixed_cfg(FEATURE_STACKS[int(params["fidx"])],
+                         params["learning_rate"])
+        name = f"tpe{t:02d}-" + run_name(cfg)
+        if name in values:
+            print(f"[skip] {name} (already in results.csv)")
+            history.append((params, values[name]))
+            continue
+        print(f"[run ] {name}")
+        row = train_single_config(cfg, args, name=name)
+        append_result(results_csv, row)
+        history.append((params, float(row["val_loss"])))
 
 
 if __name__ == "__main__":
