@@ -71,6 +71,67 @@ from diffusion_model_project_tpu.utils.config import (
 REF_A100_VOLUMES_PER_SEC = 1.8
 
 
+def bench_train_cached():
+    """Cached-latent training-step throughput (--cache-latents mode): the
+    pure-UNet grad step over device-resident latents — what every epoch
+    costs after the one-time frozen-VAE encode pass. Same honest chained
+    scan as bench_train; BENCH_TRAIN_HW/BENCH_BATCH as there."""
+    import jax.numpy as jnp
+    import optax
+
+    from diffusion_model_project_tpu.training.steps import (
+        make_cached_latent_train_step, precompute_latent_cache)
+
+    hw = int(os.environ.get("BENCH_TRAIN_HW", "128"))
+    b, s, h, w = int(os.environ.get("BENCH_BATCH", "2")), 11, hw, hw
+    pred = LatentDiffusionPredictor.create(
+        dict(_PUBLISHED_UNET), rng=jax.random.key(0), num_slices=s,
+        num_timesteps=1000, distance_transform=True, image_hw=(h, w),
+    ).with_compute_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(pred.unet_params)
+    step = make_cached_latent_train_step(optimizer)
+
+    r = np.random.default_rng(0)
+    img = (r.random((b, s, 1, h, w)) > 0.3).astype(np.float32)
+    img[:, :, :, 0, 0] = 0.0
+    raw = {
+        "img": jnp.asarray(img),
+        "U_2d": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
+        "U": jnp.asarray(r.standard_normal((b, s, 3, h, w)).astype(np.float32)),
+    }
+    cache = jax.jit(precompute_latent_cache)(pred, raw)
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    @jax.jit
+    def loop(pred, opt_state, batch, key):
+        def body(carry, k):
+            p, o, z = carry
+            bb = {name: leaf + z for name, leaf in batch.items()}
+            p, o, aux = step(p, o, bb, jax.random.fold_in(key, k))
+            loss = jax.tree_util.tree_leaves(aux)[0]
+            return (p, o, loss.astype(jnp.float32).ravel()[0] * 0), loss
+        (p, o, z), auxes = jax.lax.scan(
+            body, (pred, opt_state, jnp.float32(0)), jnp.arange(n_iters))
+        return jnp.asarray(auxes).astype(jnp.float32).sum()
+
+    print(f"[bench] compiling cached train loop {h}x{w} B={b} x{n_iters} ...",
+          file=sys.stderr, flush=True)
+    val = float(np.asarray(loop(pred, opt_state, cache, jax.random.key(1))))
+    assert np.isfinite(val), "non-finite training aux"
+    t0 = time.perf_counter()
+    float(np.asarray(loop(pred, opt_state, cache, jax.random.key(2))))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "train_cached_volumes_per_sec_per_chip",
+        "value": round(b * n_iters / dt, 3),
+        "unit": "volumes/s",
+        "ms_per_step": round(dt / n_iters * 1e3, 1),
+        "hw": hw,
+        "vs_baseline": None,
+    }))
+
+
 def bench_train():
     """Training-step throughput (published UNet config).
 
@@ -299,6 +360,8 @@ def main():
         return bench_train_vae(2)
     if mode == "train":
         return bench_train()
+    if mode == "train_cached":
+        return bench_train_cached()
     print(f"[bench] devices={jax.devices()} — building predictor (jitted init)",
           file=sys.stderr, flush=True)
     pred = LatentDiffusionPredictor.create(

@@ -37,6 +37,10 @@ CONFIGS = [
                                    "BENCH_TRAIN_HW": "256",
                                    "BENCH_BATCH": "2",
                                    "BENCH_TRAIN_PHYSICS": "1"}),
+    # --cache-latents pure-UNet step (frozen-VAE latents device-resident):
+    # what every epoch costs after the one-time encode pass
+    ("train_cached_256_b2", {"BENCH_MODE": "train_cached",
+                             "BENCH_TRAIN_HW": "256", "BENCH_BATCH": "2"}),
     # stage-1 / stage-2 VAE grad steps at published scale (PERF.md
     # full-scale rows, regenerable)
     ("train_vae1_256_b1", {"BENCH_MODE": "train_vae1"}),

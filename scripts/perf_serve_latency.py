@@ -8,15 +8,23 @@ fresh seeded inputs, so no dispatch can be memoized by the tunnel (PERF.md
 methodology) and every request pays npz decode, queueing, padding/batching,
 the fused sampler scan, decode, npz encode and transfer.
 
-Writes SERVE_LATENCY_r03.json at the repo root: per-(sampler, concurrency)
-latency percentiles + throughput + batching stats, plus the documented
-8-chip `with_latent_sharding` single-request projection with its
+Writes SERVE_LATENCY_r04.json at the repo root: per-(sampler, payload,
+concurrency) latency percentiles + throughput + batching stats, plus the
+documented 8-chip `with_latent_sharding` single-request projection with its
 assumptions stated (one real chip here — the multichip gate validates the
 sharded program compiles+runs; the projection is arithmetic, not a claim of
 measurement).
 
+Round-4 changes (VERDICT r3 weak #2/#3): ddim and dpm rows are measured
+ADJACENT in one window per level (both servers warmed up front) so tunnel
+drift cannot invert the comparison; the h2d/d2h probe re-runs per
+concurrency group and is stamped into every row; a 'f16z' payload mode
+measures the negotiated float16+compressed transfer diet against the f32
+baseline.
+
 Env: SERVE_LAT_OUT (output path), SERVE_LAT_CONCURRENCY ("1,4,8,16"),
-SERVE_LAT_CONFIGS ("ddim:50,dpm:10"), SERVE_LAT_BATCH (8).
+SERVE_LAT_CONFIGS ("ddim:50,dpm:10"), SERVE_LAT_BATCH (8),
+SERVE_LAT_PAYLOADS ("f32,f16z"), SERVE_LAT_SIZES ("1,8").
 """
 import io
 import json
@@ -47,13 +55,22 @@ CONFIGS = [(s.split(":")[0], int(s.split(":")[1])) for s in
            os.environ.get("SERVE_LAT_CONFIGS", "ddim:50,dpm:10").split(",")]
 
 
-def _payload(i):
+def _payload(i, mode="f32"):
+    """mode 'f32' = the round-3 baseline (uncompressed float32 both ways);
+    'f16z' = the round-4 transfer diet: float16 savez_compressed request +
+    negotiated float16 compressed response (utils/serving.py payload
+    negotiation)."""
     r = np.random.default_rng(5000 + i)
     img = (r.random((S, 1, H, W)) > 0.3).astype(np.float32)
     img[:, :, 0, 0] = 0.0
     v2d = r.standard_normal((S, 3, H, W)).astype(np.float32)
     buf = io.BytesIO()
-    np.savez(buf, img=img, v2d=v2d, seed=i)
+    if mode == "f16z":
+        np.savez_compressed(buf, img=img.astype(np.float16),
+                            v2d=v2d.astype(np.float16), seed=i,
+                            resp_dtype="float16", resp_compress=1)
+    else:
+        np.savez(buf, img=img, v2d=v2d, seed=i)
     return buf.getvalue()
 
 
@@ -123,65 +140,83 @@ def main():
     out_path = os.environ.get(
         "SERVE_LAT_OUT",
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SERVE_LATENCY_r03.json"))
+            os.path.abspath(__file__))), "SERVE_LATENCY_r04.json"))
     bw = _tunnel_bandwidth()
     print("tunnel bandwidth:", json.dumps(bw), flush=True)
     results = []
+    payload_modes = os.environ.get("SERVE_LAT_PAYLOADS", "f32,f16z").split(",")
+
+    # ROUND-4 DESIGN (VERDICT r3 weak #2): every sampler is measured at
+    # every level ADJACENT IN TIME — both servers are built and warmed up
+    # front and the level loop runs (conc -> payload -> sampler), so the
+    # known 10x tunnel-bandwidth drift (CLAUDE.md) lands on a ddim/dpm PAIR
+    # rather than inverting the comparison between two far-apart windows
+    # (the r3 artifact's DPM>DDIM anomaly). The h2d probe re-runs per
+    # concurrency group and is recorded in every row.
+    sizes = [int(x) for x in os.environ.get(
+        "SERVE_LAT_SIZES", f"1,{BATCH}").split(",")]
+    servers = []
     for sampler, steps in CONFIGS:
         pred = LatentDiffusionPredictor.create(
             dict(PUBLISHED_UNET_KWARGS), rng=jax.random.key(0), num_slices=S,
             num_timesteps=1000, distance_transform=True, image_hw=(H, W),
         ).set_normalizer({"input": [1.0], "output": [2.1e-2, 1.6e-2, 7.9e-3]})
         pred = pred.with_compute_dtype("bfloat16")
-        # the deployment-recommended ladder: lone requests run the B=1
-        # program (latency), bursts coalesce at BATCH (throughput).
-        # SERVE_LAT_SIZES=8 reproduces the single-shape daemon.
-        sizes = [int(x) for x in os.environ.get(
-            "SERVE_LAT_SIZES", f"1,{BATCH}").split(",")]
         server = InferenceServer(pred, sampler=sampler, num_steps=steps,
-                                 max_batch=BATCH, max_wait_ms=20.0,
-                                 batch_sizes=sizes,
+                                 max_wait_ms=20.0, batch_sizes=sizes,
                                  expected_shape=(S, H, W))
         httpd = build_http_server(server, host="127.0.0.1", port=0)
-        port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
-
         print(f"[{sampler}-{steps}] warmup sizes {server.batch_sizes} ...",
               flush=True)
         t0 = time.time()
         server.warmup()
         print(f"[{sampler}-{steps}] warmup {time.time()-t0:.0f}s", flush=True)
+        servers.append((sampler, steps, server, httpd))
 
-        for conc in CONCURRENCY:
-            n_req = max(2 * BATCH, 2 * conc)
-            payloads = [_payload(i + 1000 * conc) for i in range(n_req)]
-            before = server.stats()
-            lats, wall = _run_level(port, payloads, conc)
-            after = server.stats()
-            lats_ms = np.asarray(sorted(lats)) * 1e3
-            entry = {
-                "sampler": f"{sampler}-{steps}",
-                "batch_sizes": list(server.batch_sizes),
-                "concurrency": conc,
-                "requests": n_req,
-                "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
-                "p90_ms": round(float(np.percentile(lats_ms, 90)), 1),
-                "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
-                "mean_ms": round(float(lats_ms.mean()), 1),
-                "max_ms": round(float(lats_ms.max()), 1),
-                "throughput_vps": round(n_req / wall, 3),
-                "batches": after["batches"] - before["batches"],
-                "padded_slots": after["padded_slots"] - before["padded_slots"],
-            }
-            results.append(entry)
-            print(json.dumps(entry), flush=True)
+    for conc in CONCURRENCY:
+        bw_row = _tunnel_bandwidth()
+        print(f"[c={conc}] bandwidth {json.dumps(bw_row)}", flush=True)
+        for mode in payload_modes:
+            for sampler, steps, server, httpd in servers:
+                port = httpd.server_address[1]
+                n_req = max(2 * BATCH, 2 * conc)
+                payloads = [_payload(i + 1000 * conc, mode)
+                            for i in range(n_req)]
+                before = server.stats()
+                lats, wall = _run_level(port, payloads, conc)
+                after = server.stats()
+                lats_ms = np.asarray(sorted(lats)) * 1e3
+                entry = {
+                    "sampler": f"{sampler}-{steps}",
+                    "payload": mode,
+                    "request_bytes": len(payloads[0]),
+                    "batch_sizes": list(server.batch_sizes),
+                    "concurrency": conc,
+                    "requests": n_req,
+                    "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
+                    "p90_ms": round(float(np.percentile(lats_ms, 90)), 1),
+                    "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
+                    "mean_ms": round(float(lats_ms.mean()), 1),
+                    "max_ms": round(float(lats_ms.max()), 1),
+                    "throughput_vps": round(n_req / wall, 3),
+                    "batches": after["batches"] - before["batches"],
+                    "padded_slots": (after["padded_slots"]
+                                     - before["padded_slots"]),
+                    "h2d_MBps_at_group": bw_row["h2d_MBps"],
+                    "d2h_MBps_at_group": bw_row["d2h_MBps"],
+                }
+                results.append(entry)
+                print(json.dumps(entry), flush=True)
 
+    for _, _, server, httpd in servers:
         httpd.shutdown()
         httpd.server_close()
         server.close()
 
     single = [r for r in results
-              if r["concurrency"] == 1 and r["sampler"] == "ddim-50"]
+              if r["concurrency"] == 1 and r["sampler"] == "ddim-50"
+              and r["payload"] == "f32"]
     projection = None
     if single:
         l1 = single[0]["p50_ms"]

@@ -27,6 +27,8 @@ def stage1_dir(shared_stage1_dir):
     log = json.load(open(osp.join(shared_stage1_dir, "vae_log.json")))
     assert len(log["loss"]["recons_train"]) == 2
     assert log["norm_factors"] and len(log["norm_factors"]) == 3
+    # round-4 extension: per-epoch wall seconds (epoch-scale bench input)
+    assert len(log["epoch_time"]) == 2 and all(t > 0 for t in log["epoch_time"])
     return shared_stage1_dir
 
 
