@@ -369,29 +369,45 @@ def train(
             epoch, {k: v[-1] for k, v in log_dict["physics_metrics"].items()},
             prefix="physics/")
 
-        save_predictor(predictor, model_path, writer=ckpt_writer)
-        if ema_decay > 0:
-            import dataclasses as _dc
-            ema = ema_params(opt_state)
-            save_predictor(_dc.replace(predictor, unet_params=ema),
-                           osp.join(log_folder, "ema_model.msgpack"),
-                           writer=ckpt_writer)
-        if avg_val_loss < best_loss:
-            save_predictor(predictor, best_model_path, writer=ckpt_writer)
+        # --ckpt-freq N (default 1 = the reference's every-epoch contract):
+        # the full checkpoint set is ~3.5 GB of device->host fetch + disk per
+        # epoch (predictor incl. frozen VAE, Adam moments); through a
+        # degraded tunnel the async writer's backlog can bottleneck short
+        # epochs (observed: 30 s epochs stalling minutes behind 3 writes).
+        # best_loss still tracks EVERY epoch; best_model.msgpack is written
+        # on improving epochs that fall on the freq grid (plus the final
+        # epoch), so with N>1 the saved best can be the best-on-grid.
+        ckpt_freq = max(1, int(getattr(args, "ckpt_freq", 1) or 1))
+        save_this_epoch = (epoch % ckpt_freq == 0
+                           or epoch == td["num_epochs"] - 1)
+        improved = avg_val_loss < best_loss
+        if improved:
             best_loss = avg_val_loss
-        # FIFO order: model.msgpack -> log.json -> train_state.msgpack.
-        # The log stays behind the epoch's weights (log.json's params always
-        # describe an existing model.msgpack) but AHEAD of the resume state:
-        # a crash between the last two leaves train_state one epoch behind
-        # the log, and resume simply re-trains that epoch deterministically
-        # ((seed, epoch)-pure streams) after truncating the log to
-        # start_epoch — no epoch's losses are ever lost, and a dir holding
-        # train_state.msgpack always holds a log.json at least as new.
-        ckpt_writer.submit(log_path, json.dumps(log_dict, indent=4).encode(),
-                           serialize=bytes)
-        save_train_state(osp.join(log_folder, "train_state.msgpack"),
-                         predictor, opt_state, epoch, best_loss,
-                         writer=ckpt_writer)
+        if save_this_epoch:
+            save_predictor(predictor, model_path, writer=ckpt_writer)
+            if ema_decay > 0:
+                import dataclasses as _dc
+                ema = ema_params(opt_state)
+                save_predictor(_dc.replace(predictor, unet_params=ema),
+                               osp.join(log_folder, "ema_model.msgpack"),
+                               writer=ckpt_writer)
+            if improved or not osp.exists(best_model_path):
+                save_predictor(predictor, best_model_path, writer=ckpt_writer)
+            # FIFO order: model.msgpack -> log.json -> train_state.msgpack.
+            # The log stays behind the epoch's weights (log.json's params
+            # always describe an existing model.msgpack) but AHEAD of the
+            # resume state: a crash between the last two leaves train_state
+            # one epoch behind the log, and resume simply re-trains that
+            # epoch deterministically ((seed, epoch)-pure streams) after
+            # truncating the log to start_epoch — no epoch's losses are ever
+            # lost, and a dir holding train_state.msgpack always holds a
+            # log.json at least as new.
+            ckpt_writer.submit(log_path,
+                               json.dumps(log_dict, indent=4).encode(),
+                               serialize=bytes)
+            save_train_state(osp.join(log_folder, "train_state.msgpack"),
+                             predictor, opt_state, epoch, best_loss,
+                             writer=ckpt_writer)
 
         print(f"Epoch {epoch}: train_loss={avg_train_loss:.6f} | "
               f"val_loss={avg_val_loss:.6f} | time={dtime:.2f} s")

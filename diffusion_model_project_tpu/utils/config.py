@@ -133,6 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
                              help="Track an exponential moving average of the UNet weights "
                                   "(saved per epoch as ema_model.msgpack; 0 = off). "
                                   "Standard diffusion practice the reference lacks.")
+    group_train.add_argument("--ckpt-freq", type=int, default=1,
+                             help="Write the checkpoint set (model/best/log/train_state) "
+                                  "every N epochs instead of every epoch (default 1 = the "
+                                  "reference contract). The full set is ~3.5 GB of "
+                                  "device->host fetch per write; long runs through a slow "
+                                  "link want N=10. best-val tracking still sees every "
+                                  "epoch; the saved best is the best on the N-grid.")
     group_train.add_argument("--cache-latents", type=str_to_bool, default=False,
                              help="Encode the dataset through the frozen VAE ONCE and train "
                                   "the UNet on device-resident latents: zero per-epoch "

@@ -118,20 +118,27 @@ def test_cache_latents_cli(shared_data_dir, shared_stage1_dir,
     save_dir = str(tmp_path / "runs")
     train_cli.main([
         "--root-dir", shared_data_dir, "--save-dir", save_dir,
-        *_shared_args(), "--batch-size", "2", "--num-epochs", "2",
+        *_shared_args(), "--batch-size", "2", "--num-epochs", "3",
         "--vae-encoder-path", shared_stage2_dir,
         "--vae-decoder-path", shared_stage1_dir,
         "--shuffle", "true", "--data-parallel", "false",
         "--cache-latents", "true",
+        # every-2nd-epoch checkpointing (round 4): epoch 1 skips the write,
+        # epoch 2 writes as the final epoch — the log must still carry all 3
+        "--ckpt-freq", "2",
     ])
     runs = [d for d in os.listdir(save_dir) if osp.isdir(osp.join(save_dir, d))]
     assert len(runs) == 1
-    log = json.load(open(osp.join(save_dir, runs[0], "log.json")))
-    assert len(log["epoch"]) == 2
+    run_dir = osp.join(save_dir, runs[0])
+    log = json.load(open(osp.join(run_dir, "log.json")))
+    assert len(log["epoch"]) == 3
     assert np.isfinite(log["train_loss"]).all()
     assert np.isfinite(log["val_loss"]).all()
+    assert osp.exists(osp.join(run_dir, "model.msgpack"))
+    assert osp.exists(osp.join(run_dir, "best_model.msgpack"))
+    assert osp.exists(osp.join(run_dir, "train_state.msgpack"))
     # physics metrics keep the reference key set, zero-filled
-    assert all(v == [0.0, 0.0] for v in log["physics_metrics"].values())
+    assert all(v == [0.0, 0.0, 0.0] for v in log["physics_metrics"].values())
 
 
 def test_cache_latents_rejects_physics_and_augment(
