@@ -63,6 +63,9 @@ def parse_args(argv=None):
     parser.add_argument("--sanity-mode", action="store_true",
                         help="VAE-ONLY mode: bypass diffusion, test VAE reconstruction only")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 frozen-VAE fast path (the serve.py knob) "
+                             "for measuring its end-to-end accuracy cost")
     parser.add_argument("--use-ema", action="store_true",
                         help="Prefer ema_model.msgpack (written by train.py "
                              "--ema-decay) over best_model/model weights")
@@ -127,6 +130,12 @@ def load_model_and_config(args, image_hw):
     else:
         norm_factors = tuple(get_norm_params(stats_file)["output"])
         pred = pred.set_normalizer({"output": list(norm_factors)})
+    if getattr(args, "int8", False):
+        # frozen-VAE int8 fast path (scripts/serve.py has the same knob) —
+        # lets the sampler study quote int8 accuracy on a REAL trained
+        # checkpoint instead of random-weight error bounds (VERDICT r3 #1)
+        pred = pred.with_vae_int8()
+        print("int8 frozen-VAE path enabled")
     return pred, norm_factors
 
 
