@@ -280,6 +280,20 @@ def build_latent_cache(loaders, predictor, *, verbose: bool = True):
             (img, v2d), targets = select_input_output(data)
             parts.append(fn(predictor,
                             {"img": img, "U_2d": v2d, "U": targets}))
+        if not parts:
+            # tiny datasets can have an EMPTY val split (data/dataset._subset
+            # supports it; run_epoch handles a zero-batch val loader) — an
+            # empty cache with the train cache's trailing shape keeps
+            # run_epoch_cached's val loop a clean no-op. An empty TRAIN
+            # split is a real error.
+            if not out:
+                raise ValueError(
+                    "--cache-latents: the train loader yielded no batches")
+            cache = {k: v[:0] for k, v in out[0].items()}
+            if verbose:
+                print(f"  latent cache [{name}]: 0 samples (empty split)")
+            out.append(cache)
+            continue
         cache = {k: jnp.concatenate([p[k] for p in parts], axis=0)
                  for k in parts[0]}
         if verbose:

@@ -286,6 +286,13 @@ def train(
     ckpt_writer = AsyncCheckpointWriter()
     preempted = False
 
+    # best among epochs whose checkpoint actually wrote (--ckpt-freq gating
+    # below). Fresh run: nothing saved yet. Resume: seed from the restored
+    # best_loss — with freq>1 that can sit slightly BELOW the true saved
+    # best (train_state serializes the every-epoch tracker), which errs in
+    # the safe direction: the on-disk best_model is never overwritten by a
+    # worse post-resume epoch; at the default freq=1 the two coincide.
+    best_saved_loss = best_loss
     for epoch in range(start_epoch, td["num_epochs"]):
         current_lr = learning_rate * (
             td["scheduler"]["gamma"] ** epoch if td["scheduler"]["flag"] else 1.0)
@@ -374,14 +381,18 @@ def train(
         # epoch (predictor incl. frozen VAE, Adam moments); through a
         # degraded tunnel the async writer's backlog can bottleneck short
         # epochs (observed: 30 s epochs stalling minutes behind 3 writes).
-        # best_loss still tracks EVERY epoch; best_model.msgpack is written
-        # on improving epochs that fall on the freq grid (plus the final
-        # epoch), so with N>1 the saved best can be the best-on-grid.
+        # best_loss still tracks EVERY epoch (report/resume semantics);
+        # best_model.msgpack is gated on best_SAVED_loss — the best among
+        # epochs that actually wrote — so the saved best really is the
+        # best-on-grid (an off-grid improvement must not suppress a later
+        # grid epoch's best write), and the first save never consults the
+        # filesystem (osp.exists would race the ASYNC writer: a submitted-
+        # but-not-yet-landed best looks missing and a worse epoch would
+        # overwrite it).
         ckpt_freq = max(1, int(getattr(args, "ckpt_freq", 1) or 1))
         save_this_epoch = (epoch % ckpt_freq == 0
                            or epoch == td["num_epochs"] - 1)
-        improved = avg_val_loss < best_loss
-        if improved:
+        if avg_val_loss < best_loss:
             best_loss = avg_val_loss
         if save_this_epoch:
             save_predictor(predictor, model_path, writer=ckpt_writer)
@@ -391,7 +402,8 @@ def train(
                 save_predictor(_dc.replace(predictor, unet_params=ema),
                                osp.join(log_folder, "ema_model.msgpack"),
                                writer=ckpt_writer)
-            if improved or not osp.exists(best_model_path):
+            if avg_val_loss < best_saved_loss:
+                best_saved_loss = avg_val_loss
                 save_predictor(predictor, best_model_path, writer=ckpt_writer)
             # FIFO order: model.msgpack -> log.json -> train_state.msgpack.
             # The log stays behind the epoch's weights (log.json's params

@@ -197,6 +197,14 @@ def main(argv=None):
     completed = load_completed(results_csv)
 
     if args.algo == "tpe":
+        if args.grid_index is not None:
+            # TPE is sequential (trial t's draw conditions on trials < t);
+            # silently ignoring the sharding flag would duplicate work
+            # across hosts
+            raise SystemExit(
+                "--grid-index shards the GRID; --algo tpe is sequential "
+                "(each trial conditions on the previous ones) and cannot "
+                "be index-sharded — drop one of the flags")
         run_tpe_search(args, results_csv, completed)
         create_top10_report(results_csv, args.save_dir)
         return
@@ -243,8 +251,9 @@ def run_tpe_search(args, results_csv: str, completed: set) -> None:
     sampler = TPESampler(space, seed=args.tpe_seed,
                          n_startup_trials=max(2, args.n_trials // 3))
     values = _completed_values(results_csv)
-    print(f"TPE: {args.n_trials} trials; {len(completed)} rows already in "
-          f"the ledger (resume)")
+    n_tpe = sum(1 for name in values if name.startswith("tpe"))
+    print(f"TPE: {args.n_trials} trials; {n_tpe} tpe rows already in "
+          f"the ledger (resume; {len(values) - n_tpe} non-tpe rows ignored)")
 
     history = []
     for t in range(args.n_trials):

@@ -36,20 +36,26 @@ VOXELS = 11 * 256 * 256
 
 
 def _epoch_walls(times, drop=2):
-    """Median post-compile epoch wall (first `drop` epochs carry compiles)."""
+    """Median post-compile epoch wall. The first `drop` epochs carry
+    compiles and are excluded when the log is long enough; for short logs
+    (<= drop+2 epochs) every epoch is kept and the row records
+    warmup_epochs_dropped=0 so the artifact never claims a drop it did not
+    perform (round-4 review finding)."""
     t = np.asarray(times, dtype=float)
-    t = t[drop:] if len(t) > drop + 2 else t
-    return float(np.median(t)), len(t)
+    dropped = drop if len(t) > drop + 2 else 0
+    t = t[dropped:]
+    return float(np.median(t)), len(t), dropped
 
 
 def row(name, walls, n_epochs, train_steps, step_ms, upload_mb, h2d_mbps):
-    wall, n_used = walls
+    wall, n_used, dropped = walls
     device = train_steps * step_ms / 1e3
     transfer = upload_mb / h2d_mbps if upload_mb else 0.0
     return {
         "row": name,
         "epoch_wall_s_median": round(wall, 1),
         "epochs_measured": n_used,
+        "warmup_epochs_dropped": dropped,
         "epochs_total": n_epochs,
         "train_steps_per_epoch": train_steps,
         "grad_step_ms": step_ms,
@@ -135,7 +141,8 @@ def main(argv=None):
             "rows. On a co-located TPU-VM host the transfer term shrinks "
             "~100x (PERF.md bandwidth notes)."),
         "assumptions": [
-            "first 2 epochs dropped (compile); median over the rest",
+            "first 2 epochs dropped (compile) when the log has >4 epochs — "
+            "each row's warmup_epochs_dropped records what actually applied",
             "device bound counts grad steps only (val eval steps are a "
             "forward-only subset, inflating residual slightly)",
             f"h2d bandwidth {args.h2d_mbps} MB/s measured at run time, not "
