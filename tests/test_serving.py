@@ -287,6 +287,36 @@ def test_http_round_trip(pred):
             urllib.request.urlopen(bad, timeout=60)
         assert exc_info.value.code == 400
 
+        # round-4 payload negotiation: a float16 savez_compressed request
+        # asking for a float16 compressed response must return the SAME
+        # velocities (fp16 input quantization notwithstanding) at a
+        # fraction of the bytes
+        buf = io.BytesIO()
+        np.savez_compressed(buf, img=img.astype(np.float16),
+                            v2d=v2d.astype(np.float16), seed=7,
+                            resp_dtype="float16", resp_compress=1)
+        small = buf.getvalue()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=small)
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = resp.read()
+            got16 = np.load(io.BytesIO(body))["velocity"]
+        assert got16.dtype == np.float16
+        f32_buf = io.BytesIO()
+        np.savez(f32_buf, img=img, v2d=v2d, seed=7)
+        assert len(small) < len(f32_buf.getvalue())  # the diet actually diets
+        scale = float(np.abs(expected).max()) + 1e-12
+        assert float(np.abs(got16.astype(np.float32) - expected).max()) \
+            / scale < 5e-2
+        # unsupported resp_dtype -> 400
+        buf = io.BytesIO()
+        np.savez(buf, img=img, v2d=v2d, resp_dtype="float64")
+        bad_dtype = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=buf.getvalue())
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad_dtype, timeout=60)
+        assert exc_info.value.code == 400
+
         # truncated PK archive (zipfile.BadZipFile) -> 400 via the
         # catch-all, not a dropped connection
         trunc = urllib.request.Request(
