@@ -236,8 +236,12 @@ def bench_train_vae(stage: int):
         vae = Stage1VAE(in_channels=3, latent_channels=8)
         params = vae.init(jax.random.key(0), (b, s, hw, hw, 3))
         optimizer = optax.adam(1e-6)
-        grad_step, _, _ = make_steps(
+        # boundary=False: the fused device step (round 5) degenerates to the
+        # old grad-accumulate unit of work, keeping this row comparable
+        # across rounds (the lax.cond's untaken apply branch costs ~nothing)
+        train_step, _, _ = make_steps(
             vae, "normalized_mae_per_channel", optimizer, accum_steps=10)
+        opt_state0 = optimizer.init(params)
         batch = {
             "velocity": jnp.asarray(
                 r.standard_normal((b, 3, s, hw, hw)).astype(np.float32)),
@@ -249,15 +253,16 @@ def bench_train_vae(stage: int):
             g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
 
             def body(carry, k):
-                g_acc, z = carry
+                params, opt_state, g_acc, z = carry
                 bz = {n: leaf + z for n, leaf in batch.items()}
-                g_acc, metrics = grad_step(
-                    g_acc, params, bz, jax.random.fold_in(key, k),
-                    jnp.float32(1e-3))
+                params, opt_state, g_acc, metrics = train_step(
+                    params, opt_state, g_acc, bz, jax.random.fold_in(key, k),
+                    jnp.float32(1e-3), False)
                 loss = metrics["recons"].astype(jnp.float32)
-                return (g_acc, loss.ravel()[0] * 0), loss
-            (_, _), losses = jax.lax.scan(
-                body, (g0, jnp.float32(0)), jnp.arange(n_iters))
+                return (params, opt_state, g_acc, loss.ravel()[0] * 0), loss
+            _, losses = jax.lax.scan(
+                body, (params, opt_state0, g0, jnp.float32(0)),
+                jnp.arange(n_iters))
             return losses.sum()
     else:
         from diffusion_model_project_tpu.models.vae import DualBranchVAE
@@ -275,9 +280,11 @@ def bench_train_vae(stage: int):
         trainable = {k: full[k] for k in ("encoder_2d", "decoder_2d")}
         frozen = {k: full[k] for k in ("encoder_3d", "decoder_3d")}
         optimizer = optax.adam(1e-6)
-        grad_step, _, _ = make_steps(
+        # boundary=False: see the stage-1 note above
+        train_step, _, _ = make_steps(
             vae, "normalized_mae_per_channel", optimizer,
             lambda_align=5.0, lambda_cross=50.0, accum_steps=5)
+        opt_state0 = optimizer.init(trainable)
         v2 = r.standard_normal((b, 3, s, hw, hw)).astype(np.float32)
         v2[:, 2] = 0.0
         batch = {
@@ -293,13 +300,15 @@ def bench_train_vae(stage: int):
             g0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
             def body(carry, k):
-                g_acc, z = carry
+                trainable, opt_state, g_acc, z = carry
                 bz = {n: leaf + z for n, leaf in batch.items()}
-                g_acc, metrics = grad_step(g_acc, trainable, frozen, bz)
+                trainable, opt_state, g_acc, metrics = train_step(
+                    trainable, opt_state, g_acc, frozen, bz, False)
                 loss = metrics["recons_2d"].astype(jnp.float32)
-                return (g_acc, loss.ravel()[0] * 0), loss
-            (_, _), losses = jax.lax.scan(
-                body, (g0, jnp.float32(0)), jnp.arange(n_iters))
+                return (trainable, opt_state, g_acc, loss.ravel()[0] * 0), loss
+            _, losses = jax.lax.scan(
+                body, (trainable, opt_state0, g0, jnp.float32(0)),
+                jnp.arange(n_iters))
             return losses.sum()
 
     print(f"[bench] compiling stage-{stage} VAE grad loop {hw}x{hw} B={b} "

@@ -168,6 +168,7 @@ class LatentDiffusionPredictor:
         vae_params: Optional[dict] = None,
         image_hw: Tuple[int, int] = (256, 256),
         vae_features: Optional[Tuple[int, int, int]] = None,
+        vae_conditional: bool = False,
     ) -> "LatentDiffusionPredictor":
         from ..models.vae import (
             REFERENCE_FEATURES, features_from_decoder_params, validate_features)
@@ -184,7 +185,13 @@ class LatentDiffusionPredictor:
             vae_features = features_from_decoder_params(vae_params["decoder_3d"])
         elif vae_features is not None:
             vae_features = validate_features(vae_features)
+        # vae_conditional: conditional STANDARD VAE checkpoints map onto the
+        # dual-branch surface with FiLM conditions baked per branch — 2D
+        # branch False, 3D branch True, the exact constants the reference
+        # passes at each predictor call site (predictor.py:686-688, 864-866,
+        # 1079-1081; see DualBranchVAE.conditional)
         vae = DualBranchVAE(latent_channels=latent_channels,
+                            conditional=vae_conditional,
                             features=tuple(vae_features or REFERENCE_FEATURES))
 
         r_unet, r_vae, r_sample = jax.random.split(rng, 3)

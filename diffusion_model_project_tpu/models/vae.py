@@ -323,6 +323,16 @@ class DualBranchVAE(nn.Module):
     """Four-module dual-branch VAE (reference VAE_model/src/dual_vae/model.py:32-377).
 
     2D->3D inference path: x_2d -> encoder_2d -> [latent diffusion] -> decoder_3d.
+
+    ``conditional``: the CONDITIONAL STANDARD VAE mapped onto the dual-branch
+    surface. The reference builds a single FiLM-conditioned VAE and passes a
+    per-sample bool — False for 2D flow, True for 3D — at each predictor call
+    site (Diffusion_model/src/predictor.py:686-688 encode U_2d with zeros,
+    :864-866 decode with ones, :1079-1081 encode_target with ones). Here the
+    2D-branch methods bake condition=False and the 3D-branch methods
+    condition=True, so the predictor's branch dispatch reproduces exactly
+    those constants; loaders alias the one checkpoint's params into all four
+    branches (utils/checkpoint.py standard flavor).
     """
 
     in_channels: int = 3
@@ -332,38 +342,51 @@ class DualBranchVAE(nn.Module):
     share_decoders: bool = False
     remat_decoders: bool = False  # per-block remat (see Decoder.remat)
     remat_encoders: bool = False  # per-block remat (see Encoder.remat)
+    conditional: bool = False
     features: Sequence[int] = REFERENCE_FEATURES
 
     def setup(self):
         self.encoder_2d = Encoder(self.latent_channels, self.kernel_size,
+                                  self.conditional,
                                   remat=self.remat_encoders,
                                   features=self.features, name="encoder_2d")
         self.decoder_2d = Decoder(self.in_channels, self.kernel_size,
+                                  self.conditional,
                                   remat=self.remat_decoders,
                                   features=self.features, name="decoder_2d")
         self.encoder_3d = (
             self.encoder_2d if self.share_encoders
             else Encoder(self.latent_channels, self.kernel_size,
+                         self.conditional,
                          remat=self.remat_encoders,
                          features=self.features, name="encoder_3d")
         )
         self.decoder_3d = (
             self.decoder_2d if self.share_decoders
             else Decoder(self.in_channels, self.kernel_size,
+                         self.conditional,
                          remat=self.remat_decoders,
                          features=self.features, name="decoder_3d")
         )
 
+    def _cond(self, x, is_3d: bool):
+        """Per-sample condition constant for a branch (None when the model
+        is unconditional): zeros for the 2D branch, ones for the 3D branch —
+        the reference predictor's torch.zeros/ones bool vectors."""
+        if not self.conditional:
+            return None
+        return jnp.full((x.shape[0],), float(is_3d), dtype=jnp.float32)
+
     # --- stochastic encodes (flax 'sample' RNG stream) ---------------------
 
     def encode_2d(self, x):
-        mu, logvar = self.encoder_2d(x)
+        mu, logvar = self.encoder_2d(x, self._cond(x, False))
         logvar = _clamp_logvar(logvar)
         z = reparameterize(self.make_rng("sample"), mu, logvar)
         return z, (mu, logvar)
 
     def encode_3d(self, x):
-        mu, logvar = self.encoder_3d(x)
+        mu, logvar = self.encoder_3d(x, self._cond(x, True))
         logvar = _clamp_logvar(logvar)
         z = reparameterize(self.make_rng("sample"), mu, logvar)
         return z, (mu, logvar)
@@ -371,21 +394,21 @@ class DualBranchVAE(nn.Module):
     # --- deterministic (mu-only) encodes ------------------------------------
 
     def encode_2d_deterministic(self, x):
-        mu, logvar = self.encoder_2d(x)
+        mu, logvar = self.encoder_2d(x, self._cond(x, False))
         return mu, (mu, _clamp_logvar(logvar))
 
     def encode_3d_deterministic(self, x):
-        mu, logvar = self.encoder_3d(x)
+        mu, logvar = self.encoder_3d(x, self._cond(x, True))
         return mu, (mu, _clamp_logvar(logvar))
 
     # --- decodes -------------------------------------------------------------
 
     def decode_2d(self, z):
-        x = self.decoder_2d(z)
+        x = self.decoder_2d(z, self._cond(z, False))
         return x.at[..., 2].set(0.0)  # w == 0 for 2D flow
 
     def decode_3d(self, z):
-        return self.decoder_3d(z)
+        return self.decoder_3d(z, self._cond(z, True))
 
     # --- composite paths ------------------------------------------------------
 

@@ -253,7 +253,9 @@ def run_epoch(
                 if k in metrics:
                     acc[k] += float(metrics[k])
             val_phys_count += 1
-    avg_val_loss = val_loss / max(j + 1, 1)
+    # NaN, not 0.0, for a zero-batch val loader: 0.0 would win best-model
+    # gating with unvalidated weights (same rule as run_epoch_cached)
+    avg_val_loss = val_loss / (j + 1) if j >= 0 else float("nan")
     if val_phys_count > 0:
         acc = {k: v / val_phys_count for k, v in acc.items()}
 
@@ -366,7 +368,13 @@ def run_epoch_cached(
         batch = {key: v[k:k + batch_size] for key, v in val_cache.items()}
         rng, step_rng = jax.random.split(rng)
         val_metricses.append(cache["eval_latent"](predictor, batch, step_rng))
+    if not val_metricses:
+        # empty val split (0-row cache): 0.0 here would beat every real
+        # best_loss and make each epoch overwrite best_model.msgpack with
+        # unvalidated weights (round-4 advisor finding). NaN never compares
+        # < best_loss, so best-model gating is skipped cleanly.
+        return predictor, opt_state, avg_train_loss, float("nan"), {}
     val_loss = sum(float(mm["val_loss"])
                    for mm in jax.device_get(val_metricses))
-    avg_val_loss = val_loss / max(len(val_metricses), 1)
+    avg_val_loss = val_loss / len(val_metricses)
     return predictor, opt_state, avg_train_loss, avg_val_loss, {}

@@ -219,11 +219,14 @@ def make_diffusion_eval_step(
 # Equivalence: cached_latent_loss_fn splits its rng exactly like
 # predictor.forward (r_noise, r_t), draws over the same channels-last
 # shapes, and runs the same q_sample -> UNet -> cost pipeline, so given the
-# same params/batch/rng it reproduces diffusion_loss_fn BITWISE
-# (tests/test_cached_latents.py). Not supported (the trainer falls back /
-# errors): physics or velocity losses (they decode full-res velocity every
-# step) and flip augmentation (latents of flipped volumes are not flips of
-# latents — they would need a 4-variant cache).
+# same params/batch/rng it reproduces diffusion_loss_fn numerically (~1e-6,
+# tests/test_cached_latents.py; not claimed bitwise — the frozen-VAE encode
+# runs in a separate jit whose XLA fusion can differ in the last ulp). Not
+# supported (the trainer errors): physics or velocity losses (they decode
+# full-res velocity every step). Flip augmentation is supported via the
+# 4-variant flip cache (flip_variants below): latents of flipped volumes
+# are not flips of latents, so all four (flip_h, flip_z) encodes are cached
+# and indexed per epoch by on-device draws.
 # --------------------------------------------------------------------------
 
 
@@ -253,8 +256,9 @@ def cached_latent_loss_fn(
     cost_name: str = "normalized_mse_loss_per_component",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch keys: 'x0'/'z' (B, ld, lh, lw, C), 'm' (B, ld, lh, lw, 1) from
-    precompute_latent_cache. Reproduces diffusion_loss_fn bitwise for the
-    plain (no physics / no velocity) configuration."""
+    precompute_latent_cache. Reproduces diffusion_loss_fn numerically
+    (~1e-6; same rng stream and op order) for the plain (no physics / no
+    velocity) configuration."""
     pred = dataclasses.replace(predictor, unet_params=unet_params)
     cost = cost_function(cost_name)
     x0, z, m = batch["x0"], batch["z"], batch["m"]

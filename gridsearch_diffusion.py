@@ -205,7 +205,7 @@ def main(argv=None):
                 "--grid-index shards the GRID; --algo tpe is sequential "
                 "(each trial conditions on the previous ones) and cannot "
                 "be index-sharded — drop one of the flags")
-        run_tpe_search(args, results_csv, completed)
+        run_tpe_search(args, results_csv)
         create_top10_report(results_csv, args.save_dir)
         return
 
@@ -232,7 +232,7 @@ def _completed_values(results_csv: str) -> dict:
                 for row in csv.DictReader(f)}
 
 
-def run_tpe_search(args, results_csv: str, completed: set) -> None:
+def run_tpe_search(args, results_csv: str) -> None:
     """TPE over (feature-stack index, log-uniform lr) with crash-safe resume.
 
     Resume needs NO stored sampler state: suggest(t, history) is pure in
@@ -260,7 +260,12 @@ def run_tpe_search(args, results_csv: str, completed: set) -> None:
         params = sampler.suggest(t, history)
         cfg = _fixed_cfg(FEATURE_STACKS[int(params["fidx"])],
                          params["learning_rate"])
-        name = f"tpe{t:02d}-" + run_name(cfg)
+        # the seed is part of the name: run_name renders lr at one
+        # significant digit, so two DIFFERENT seeds' searches in one save
+        # dir could otherwise collide (2.8e-4 and 3.2e-4 both 'lr3e-04')
+        # and replay a stale val_loss into the new search's history
+        # (round-4 advisor finding)
+        name = f"tpe-s{args.tpe_seed}-{t:02d}-" + run_name(cfg)
         if name in values:
             print(f"[skip] {name} (already in results.csv)")
             history.append((params, values[name]))

@@ -66,6 +66,10 @@ def load_vae(vae_path: str, latent_channels=None):
     params, norm_factors, flavor = load_dual_vae_from_paths(vae_path=vae_path)
     from diffusion_model_project_tpu.models.vae import features_from_decoder_params
     vae = DualBranchVAE(latent_channels=latent_channels,
+                        # conditional standard checkpoints (FiLM) bake the
+                        # reference's per-branch condition constants — see
+                        # DualBranchVAE.conditional
+                        conditional=(flavor == "standard_conditional"),
                         features=features_from_decoder_params(params["decoder_3d"]))
     return vae, params, norm_factors, flavor
 

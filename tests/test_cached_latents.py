@@ -2,8 +2,10 @@
 
 The VAE is frozen during diffusion training (reference predictor.py:604-607),
 so per-sample latents are constant across epochs; the cached path encodes
-once and must reproduce the regular per-batch path EXACTLY (same rng split
-order as predictor.forward -> bitwise-identical loss and grads)."""
+once and must reproduce the regular per-batch path numerically (same rng
+split order as predictor.forward -> identical draws and op order; asserted
+to rtol 1e-5/1e-6, not bitwise — the encode's separate jit may fuse
+differently in the last ulp)."""
 import json
 import os.path as osp
 import sys
@@ -52,7 +54,7 @@ def raw_batch():
 
 def test_cached_loss_and_grads_match_regular_path(pred, raw_batch):
     """cached_latent_loss_fn(params, pred, cache, rng) must equal
-    diffusion_loss_fn(params, pred, raw, rng) bitwise-ish: same rng split
+    diffusion_loss_fn(params, pred, raw, rng) to ~1e-6: same rng split
     order, same channels-last shapes, same q_sample -> UNet -> cost."""
     cache = jax.jit(precompute_latent_cache)(pred, raw_batch)
     assert cache["x0"].shape == (B, S, H // 4, W // 4, pred.latent_channels)

