@@ -266,23 +266,110 @@ def run_epoch(
     return predictor, opt_state, avg_train_loss, avg_val_loss, all_metrics
 
 
-def build_latent_cache(loaders, predictor, *, verbose: bool = True):
+def flip_variant_draws(dataset, epoch: int) -> "np.ndarray":
+    """Replay the dataset's per-sample augmentation draws for ``epoch``
+    without touching any sample data: returns v[i] = flip_h + 2*flip_z from
+    the same (seed, epoch, idx) rng stream — and the same draw ORDER —
+    MicroFlowDataset._augment_sample consumes (data/dataset.py:277-303), so
+    the flip-variant cached path selects exactly the augmented sample the
+    regular loader would have produced. O(n) host randoms per epoch; the
+    (n,) int32 result is the cached path's only per-epoch upload."""
+    dataset.set_epoch(epoch)
+    out = np.empty(len(dataset), np.int32)
+    for i in range(len(dataset)):
+        rng = dataset._aug_rng(i)
+        fh = rng.random() < 0.5
+        fz = dataset.use_3d and rng.random() < 0.5
+        out[i] = int(fh) + 2 * int(fz)
+    return out
+
+
+def _shard_cache_rows(cache, mesh):
+    """Place a latent cache with rows sharded over the mesh's 'data' axis
+    (VERDICT r4 item 4: the cache, not just the batch, scales with the
+    dataset — one chip holds 1/N of it). Rows are zero-padded up to the axis
+    size; padded rows are never gathered because every index the epoch loop
+    issues is < the real row count."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+    out = {}
+    for k, v in cache.items():
+        if v.shape[0] == 0:  # empty val split: nothing to distribute
+            out[k] = v
+            continue
+        pad = (-v.shape[0]) % n_dev
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+        out[k] = _jax.device_put(
+            v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+    return out
+
+
+def _natural_order_batches(loader):
+    """Iterate a NumpyLoader's dataset in index order (ignoring its shuffle
+    state) so cache row i is sample i — the row<->sample identity the
+    flip-variant draws key on, and a deterministic build regardless of the
+    loader's epoch state."""
+    ds, bs = loader.dataset, loader.batch_size
+    n = len(ds)
+    for k in range(0, n, bs):
+        samples = [ds[i] for i in range(k, min(k + bs, n))]
+        yield {key: np.stack([s[key] for s in samples]) for key in samples[0]}
+
+
+#: variant-major row order of the flip cache: row = v * n + i with
+#: v = flip_h + 2 * flip_z
+FLIP_VARIANTS = ((False, False), (True, False), (False, True), (True, True))
+
+
+def build_latent_cache(loaders, predictor, *, verbose: bool = True,
+                       flip_variants: bool = False, mesh=None):
     """One pass over (train_loader, val_loader) through the frozen VAE ->
     device-resident latent caches for --cache-latents (see
     training/steps.py::precompute_latent_cache). Returns (train_cache,
-    val_cache): dicts of stacked device arrays keyed x0/z/m."""
-    import jax as _jax
-    from .steps import precompute_latent_cache
+    val_cache): dicts of stacked device arrays keyed x0/z/m, rows in
+    dataset index order.
 
-    fn = _jax.jit(precompute_latent_cache)
+    flip_variants: additionally encode every (flip_h, flip_z) augmentation
+    variant of the TRAIN samples (--cache-latents + --augment): latents of a
+    flipped volume are not flips of its latents, so all four encodes are
+    cached, variant-major (row = v * n + i; 4x the cache, ~12 MB/sample at
+    published scale). The val split is never augmented (data/dataset.py
+    get_loader builds it with augment=False).
+
+    mesh: shard cache rows over the mesh's 'data' axis so the cache scales
+    with devices instead of replicating (rows padded to the axis size;
+    per-batch gathers ride ICI)."""
+    import jax as _jax
+    from .steps import flip_variant_batch, precompute_latent_cache
+
+    fn = _jax.jit(lambda p, b, fh, fz: precompute_latent_cache(
+        p, flip_variant_batch(b, fh, fz) if (fh or fz) else b),
+        static_argnums=(2, 3))
     out = []
     for name, loader in zip(("train", "val"), loaders):
-        parts = []
-        for data in loader:
-            (img, v2d), targets = select_input_output(data)
-            parts.append(fn(predictor,
-                            {"img": img, "U_2d": v2d, "U": targets}))
-        if not parts:
+        variants = (FLIP_VARIANTS if flip_variants and name == "train"
+                    else FLIP_VARIANTS[:1])
+        # encode the UNAUGMENTED samples: variants are applied on device
+        ds = loader.dataset
+        saved_augment = getattr(ds, "augment", False)
+        if saved_augment:
+            ds.augment = False
+        try:
+            parts = {v: [] for v in variants}
+            for data in _natural_order_batches(loader):
+                (img, v2d), targets = select_input_output(data)
+                raw = {"img": jnp.asarray(img), "U_2d": jnp.asarray(v2d),
+                       "U": jnp.asarray(targets)}
+                for v in variants:
+                    parts[v].append(fn(predictor, raw, *v))
+        finally:
+            if saved_augment:
+                ds.augment = saved_augment
+        if not parts[variants[0]]:
             # tiny datasets can have an EMPTY val split (data/dataset._subset
             # supports it; run_epoch handles a zero-batch val loader) — an
             # empty cache with the train cache's trailing shape keeps
@@ -296,13 +383,18 @@ def build_latent_cache(loaders, predictor, *, verbose: bool = True):
                 print(f"  latent cache [{name}]: 0 samples (empty split)")
             out.append(cache)
             continue
-        cache = {k: jnp.concatenate([p[k] for p in parts], axis=0)
-                 for k in parts[0]}
+        cache = {k: jnp.concatenate(
+            [p[k] for v in variants for p in parts[v]], axis=0)
+            for k in parts[variants[0]][0]}
+        if mesh is not None:
+            cache = _shard_cache_rows(cache, mesh)
         if verbose:
             n = cache["x0"].shape[0]
             mb = sum(v.size * v.dtype.itemsize for v in cache.values()) / 2**20
-            print(f"  latent cache [{name}]: {n} samples, {mb:.0f} MB "
-                  f"device-resident")
+            aug = f" ({len(variants)} flip variants)" if len(variants) > 1 else ""
+            shard = f", sharded over {mesh.shape['data']} devices" if mesh is not None else ""
+            print(f"  latent cache [{name}]: {n} rows{aug}, {mb:.0f} MB "
+                  f"device-resident{shard}")
         out.append(cache)
     return tuple(out)
 
@@ -318,15 +410,28 @@ def run_epoch_cached(
     cost_name: str = "normalized_mse_loss_per_component",
     _step_cache: Optional[dict] = None,
     should_stop: Optional[Callable[[], bool]] = None,
+    mesh=None,
+    variant_idx=None,
+    n_train: Optional[int] = None,
+    n_val: Optional[int] = None,
 ):
-    """Cached-latent counterpart of run_epoch (plain configuration only:
-    no physics, no velocity, no augmentation — the trainer validates).
+    """Cached-latent counterpart of run_epoch (plain noise-prediction
+    configuration only: no physics, no velocity — the trainer validates).
 
-    The whole epoch touches no host memory: the per-epoch shuffle is a
-    device-side jax.random.permutation of the cache rows, batches are
-    device gathers, and the only host sync is the one device_get of the
-    accumulated aux scalars at the end. Returns the same 5-tuple as
-    run_epoch with empty physics metrics."""
+    The per-epoch shuffle is a device-side jax.random.permutation of the
+    cache rows, batches are device gathers, and the only host sync is the
+    one device_get of the accumulated aux scalars at the end. Returns the
+    same 5-tuple as run_epoch with empty physics metrics.
+
+    variant_idx: per-sample flip-variant indices for this epoch (the
+    flip_variant_draws replay of the dataset's augmentation stream) over a
+    variant-major flip cache — sample i of variant v lives at row v*n + i.
+    Its (n,) int32 upload is the epoch's only host->device traffic.
+
+    mesh: gathers ride the row-sharded cache (build_latent_cache(mesh=...))
+    and each batch is resharded over the 'data' axis before the step
+    (maybe_shard_batch divisibility rules). Because the mesh pads cache
+    rows, n_train/n_val (real sample counts) are REQUIRED with a mesh."""
     train_cache, val_cache = caches
     cache = _step_cache if _step_cache is not None else {}
     if "train_latent" not in cache:
@@ -337,10 +442,15 @@ def run_epoch_cached(
             optimizer, cost_name=cost_name), donate_argnums=donate)
         cache["eval_latent"] = jax.jit(
             make_cached_latent_eval_step(cost_name=cost_name))
+    if mesh is not None and (n_train is None or n_val is None):
+        raise ValueError("run_epoch_cached under a mesh needs explicit "
+                         "n_train/n_val: the sharded cache pads its rows")
 
-    n = int(train_cache["x0"].shape[0])
+    n = int(n_train) if n_train is not None else int(train_cache["x0"].shape[0])
     rng, perm_rng = jax.random.split(rng)
     perm = jax.random.permutation(perm_rng, n)  # device-side shuffle
+    v_dev = (None if variant_idx is None
+             else jnp.asarray(np.asarray(variant_idx, np.int32)))
     auxes = []
     for k in range(0, n, batch_size):
         if should_stop is not None and should_stop():
@@ -348,8 +458,11 @@ def run_epoch_cached(
             raise PreemptStop(f"stop requested at cached train batch "
                               f"{k // batch_size}")
         idx = perm[k:k + batch_size]
+        if v_dev is not None:  # variant-major flip cache: row = v*n + i
+            idx = idx + n * jnp.take(v_dev, idx)
         batch = {key: jnp.take(v, idx, axis=0)
                  for key, v in train_cache.items()}
+        batch = maybe_shard_batch(batch, mesh)
         rng, step_rng = jax.random.split(rng)
         predictor, opt_state, aux = cache["train_latent"](
             predictor, opt_state, batch, step_rng)
@@ -358,14 +471,16 @@ def run_epoch_cached(
     running = sum(float(a["primary_loss"]) for a in jax.device_get(auxes))
     avg_train_loss = running / max(num_train, 1)
 
-    m = int(val_cache["x0"].shape[0])
+    m = int(n_val) if n_val is not None else int(val_cache["x0"].shape[0])
     val_metricses = []
     for k in range(0, m, batch_size):
         if should_stop is not None and should_stop():
             from ..utils.preempt import PreemptStop
             raise PreemptStop(f"stop requested at cached val batch "
                               f"{k // batch_size}")
-        batch = {key: v[k:k + batch_size] for key, v in val_cache.items()}
+        batch = {key: v[k:min(k + batch_size, m)]
+                 for key, v in val_cache.items()}
+        batch = maybe_shard_batch(batch, mesh)
         rng, step_rng = jax.random.split(rng)
         val_metricses.append(cache["eval_latent"](predictor, batch, step_rng))
     if not val_metricses:

@@ -18,6 +18,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..diffusion.predictor import LatentDiffusionPredictor
@@ -223,11 +224,44 @@ def make_diffusion_eval_step(
 # tests/test_cached_latents.py; not claimed bitwise — the frozen-VAE encode
 # runs in a separate jit whose XLA fusion can differ in the last ulp). Not
 # supported (the trainer errors): physics or velocity losses (they decode
-# full-res velocity every step). Flip augmentation is supported via the
-# 4-variant flip cache (flip_variants below): latents of flipped volumes
-# are not flips of latents, so all four (flip_h, flip_z) encodes are cached
-# and indexed per epoch by on-device draws.
+# full-res velocity every step). Flip augmentation IS supported via the
+# 4-variant flip cache (flip_variant_batch below +
+# helper.build_latent_cache(flip_variants=True)): latents of flipped
+# volumes are not flips of latents, so all four (flip_h, flip_z) encodes
+# are cached variant-major and indexed per epoch by the dataset's own
+# host-side augmentation draws (helper.flip_variant_draws).
 # --------------------------------------------------------------------------
+
+
+def flip_variant_batch(batch: Dict[str, jnp.ndarray], flip_h: bool,
+                       flip_z: bool) -> Dict[str, jnp.ndarray]:
+    """Apply the dataset's flip augmentation to a raw channels-first batch
+    {'img','U_2d','U'} of (B, S, C, H, W) tensors — exactly
+    MicroFlowDataset._augment_sample (data/dataset.py:277-303, reference
+    dataset.py:174-217): flip-H mirrors the H axis and negates vy
+    (channel 1) of both velocity tensors; flip-Z mirrors the slice axis
+    and negates vz (channel 2). The flips are static (trace-time) booleans
+    so each of the 4 variants compiles once for the flip-variant latent
+    cache."""
+    def flip(x, velocity):
+        if flip_h:
+            x = jnp.flip(x, axis=-2)
+        if flip_z:
+            x = jnp.flip(x, axis=1)
+        if velocity:
+            sign = np.ones((x.shape[2],), np.float32)
+            if flip_h:
+                sign[1] = -1.0
+            if flip_z:
+                sign[2] = -1.0
+            x = x * jnp.asarray(sign).reshape(1, 1, -1, 1, 1)
+        return x
+
+    return {
+        "img": flip(batch["img"], velocity=False),
+        "U_2d": flip(batch["U_2d"], velocity=True),
+        "U": flip(batch["U"], velocity=True),
+    }
 
 
 def precompute_latent_cache(predictor, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -248,23 +248,26 @@ def train(
                 "--cache-latents supports the plain noise-prediction "
                 "configuration only: physics/velocity losses decode full-"
                 "resolution velocity every step and need the raw volumes")
-        if any(getattr(getattr(ld_, "dataset", None), "augment", False)
-               for ld_ in (train_loader, val_loader)):
+        if mesh is not None and (model_parallel > 1 or fsdp):
             raise ValueError(
-                "--cache-latents is incompatible with --augment: latents of "
-                "flipped volumes are not flips of latents (a flip-variant "
-                "cache is future work); drop one of the flags")
-        if mesh is not None:
-            raise ValueError(
-                "--cache-latents currently runs single-device; pass "
-                "--data-parallel false (multi-chip training uses the "
-                "regular per-batch path)")
+                "--cache-latents composes with the pure data mesh only "
+                "(cache rows sharded over 'data'); drop --model-parallel/"
+                "--fsdp or use the regular per-batch path")
+        # --augment: encode all 4 flip variants once (flip-variant cache);
+        # per-epoch the dataset's own augmentation draws select the rows
+        # (helper.flip_variant_draws), so the restriction of round 4 is gone
+        cache_augment = bool(getattr(
+            getattr(train_loader, "dataset", None), "augment", False))
         t_cache = time.time()
         from .helper import build_latent_cache
         latent_caches = build_latent_cache(
-            (train_loader, val_loader), predictor)
+            (train_loader, val_loader), predictor,
+            flip_variants=cache_augment, mesh=mesh)
+        cache_n_train = len(train_loader.dataset)
+        cache_n_val = len(val_loader.dataset)
         print(f"Latent caches built in {time.time() - t_cache:.1f}s "
-              f"(one-time frozen-VAE encode pass)")
+              f"(one-time frozen-VAE encode pass"
+              f"{', 4 flip variants' if cache_augment else ''})")
 
     model_path = osp.join(log_folder, "model.msgpack")
     best_model_path = osp.join(log_folder, "best_model.msgpack")
@@ -323,7 +326,9 @@ def train(
             profile_ctx.__enter__()
         try:
             if cache_latents:
-                from .helper import run_epoch_cached
+                from .helper import flip_variant_draws, run_epoch_cached
+                variant_idx = (flip_variant_draws(train_loader.dataset, epoch)
+                               if cache_augment else None)
                 predictor, opt_state, avg_train_loss, avg_val_loss, \
                     physics_metrics = run_epoch_cached(
                         latent_caches, predictor, opt_state, optimizer,
@@ -332,6 +337,10 @@ def train(
                         cost_name=td["cost_function"],
                         _step_cache=step_cache,
                         should_stop=should_stop,
+                        mesh=mesh,
+                        variant_idx=variant_idx,
+                        n_train=cache_n_train,
+                        n_val=cache_n_val,
                     )
             else:
                 predictor, opt_state, avg_train_loss, avg_val_loss, \

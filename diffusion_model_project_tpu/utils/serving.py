@@ -50,6 +50,106 @@ _SHUTDOWN = object()
 MAX_BODY_BYTES = 256 * 1024 * 1024
 
 
+# ---------------------------------------------------------------- raw frames
+# Raw-bytes payload mode (VERDICT r4 weak #6 / item 8): npz+zlib costs real
+# CPU on the serving host's hot path — at c>=4 on a 1-core host the encode/
+# decode saturates the HOST while the device idles, inverting the sampler
+# ranking (SERVE_LATENCY_r04). A raw frame is a fixed 32-byte header plus
+# raw little-endian buffers: zero compression CPU both directions, and the
+# masked-velocity size win of deflate can still be had by the TRANSPORT
+# (Content-Encoding) when a WAN client wants it. Frames are self-describing
+# (magic "MFR1"), so /v1/predict dispatches on the first 4 bytes: "PK\3\4"
+# -> npz, "MFR1" -> raw.
+#
+# Request frame (little-endian):
+#   0:4   magic b"MFR1"
+#   4:5   img dtype code (0=float32, 1=float16)
+#   5:6   v2d dtype code
+#   6:7   resp dtype code (response velocity dtype the client wants)
+#   7:8   reserved (0)
+#   8:12  S   12:16  H   16:20  W   (uint32)
+#   20:28 seed (int64)
+#   28:32 reserved (0)
+#   32:   img bytes (S*1*H*W * itemsize), then v2d bytes (S*3*H*W * itemsize)
+# Response frame:
+#   0:4   magic b"MFR1"
+#   4:5   velocity dtype code   5:8 reserved
+#   8:12  S   12:16  H   16:20  W
+#   20:   velocity bytes (S*3*H*W * itemsize)
+
+RAW_MAGIC = b"MFR1"
+_RAW_DTYPES = {0: np.float32, 1: np.float16}
+_RAW_CODES = {np.dtype(np.float32): 0, np.dtype(np.float16): 1}
+
+
+def encode_raw_request(img: np.ndarray, v2d: np.ndarray, *, seed: int = 0,
+                       resp_dtype: str = "float32") -> bytes:
+    """Client-side encoder for the raw frame (shared by tests and the
+    latency harness): header + raw buffers, no npz/zlib CPU."""
+    import struct
+
+    img = np.ascontiguousarray(img)
+    v2d = np.ascontiguousarray(v2d)
+    s, _, h, w = img.shape
+    head = struct.pack(
+        "<4sBBBBIIIqI", RAW_MAGIC, _RAW_CODES[img.dtype],
+        _RAW_CODES[v2d.dtype], _RAW_CODES[np.dtype(resp_dtype)], 0,
+        s, h, w, int(seed), 0)
+    return head + img.tobytes() + v2d.tobytes()
+
+
+def decode_raw_request(body: bytes):
+    """-> (img, v2d, seed, resp_dtype_str); raises ValueError on malformed
+    frames (wrong magic, unknown dtype code, size mismatch)."""
+    import struct
+
+    if len(body) < 32 or body[:4] != RAW_MAGIC:
+        raise ValueError("not a raw MFR1 frame")
+    (_, c_img, c_v2d, c_resp, _z0, s, h, w, seed, _z1) = struct.unpack(
+        "<4sBBBBIIIqI", body[:32])
+    for c in (c_img, c_v2d, c_resp):
+        if c not in _RAW_DTYPES:
+            raise ValueError(f"unknown dtype code {c}")
+    dt_img = np.dtype(_RAW_DTYPES[c_img])
+    dt_v2d = np.dtype(_RAW_DTYPES[c_v2d])
+    n_img = s * 1 * h * w * dt_img.itemsize
+    n_v2d = s * 3 * h * w * dt_v2d.itemsize
+    if len(body) != 32 + n_img + n_v2d:
+        raise ValueError(
+            f"raw frame size {len(body)} != 32 + {n_img} + {n_v2d} for "
+            f"shape ({s},{h},{w})")
+    img = np.frombuffer(body, dt_img, count=s * h * w, offset=32
+                        ).reshape(s, 1, h, w)
+    v2d = np.frombuffer(body, dt_v2d, count=s * 3 * h * w, offset=32 + n_img
+                        ).reshape(s, 3, h, w)
+    return img, v2d, int(seed), np.dtype(_RAW_DTYPES[c_resp]).name
+
+
+def encode_raw_response(velocity: np.ndarray) -> bytes:
+    import struct
+
+    velocity = np.ascontiguousarray(velocity)
+    s, _, h, w = velocity.shape
+    head = struct.pack("<4sBBBBIII", RAW_MAGIC, _RAW_CODES[velocity.dtype],
+                       0, 0, 0, s, h, w)
+    return head + velocity.tobytes()
+
+
+def decode_raw_response(body: bytes) -> np.ndarray:
+    import struct
+
+    if len(body) < 20 or body[:4] != RAW_MAGIC:
+        raise ValueError("not a raw MFR1 frame")
+    _, code, _a, _b, _c, s, h, w = struct.unpack("<4sBBBBIII", body[:20])
+    if code not in _RAW_DTYPES:
+        raise ValueError(f"unknown dtype code {code}")
+    dt = np.dtype(_RAW_DTYPES[code])
+    if len(body) != 20 + s * 3 * h * w * dt.itemsize:
+        raise ValueError("raw response size mismatch")
+    return np.frombuffer(body, dt, count=s * 3 * h * w, offset=20
+                         ).reshape(s, 3, h, w)
+
+
 class ServerBusy(RuntimeError):
     """Raised by submit() when the pending queue is at max_pending.
 
@@ -452,6 +552,14 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
         ``resp_compress`` (nonzero -> ``savez_compressed``; masked
         velocity fields are ~45% zeros and deflate well).
 
+    Raw-bytes mode (round-5, VERDICT r4 item 8): a request body starting
+    with the ``MFR1`` magic is a fixed-header raw frame
+    (``encode_raw_request``) and gets a raw-frame response
+    (``decode_raw_response``) — zero npz/zlib CPU in either direction.
+    On a CPU-poor serving host the codec work was the measured saturation
+    point at concurrency >= 4 (SERVE_LATENCY_r04); raw mode moves the
+    wire-size/CPU tradeoff to the transport layer where it belongs.
+
     ThreadingHTTPServer gives one handler thread per connection; concurrent
     requests therefore overlap in ``submit()`` and coalesce into shared
     device batches — that is the whole point of the daemon.
@@ -480,6 +588,7 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
         def do_POST(self):
             if self.path != "/v1/predict":
                 return self._send_json(404, {"error": "unknown path"})
+            raw_mode = False
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 # a volume request is ~11 MB of f32 npz; anything near the
@@ -488,22 +597,31 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
                     return self._send_json(413, {
                         "error": f"body {length} bytes exceeds the "
                                  f"{MAX_BODY_BYTES}-byte request cap"})
-                with np.load(io.BytesIO(self.rfile.read(length)),
-                             allow_pickle=False) as z:
-                    img, v2d = z["img"], z["v2d"]
-                    seed = int(z["seed"]) if "seed" in z.files else 0
-                    resp_dtype = (str(z["resp_dtype"])
-                                  if "resp_dtype" in z.files else "float32")
-                    resp_compress = bool(
-                        "resp_compress" in z.files and int(z["resp_compress"]))
+                body = self.rfile.read(length)
+                resp_compress = False
+                if body[:4] == RAW_MAGIC:
+                    # raw frame: fixed header + raw buffers, no npz/zlib CPU
+                    # on the hot path (the c>=4 host-saturation fix)
+                    raw_mode = True
+                    img, v2d, seed, resp_dtype = decode_raw_request(body)
+                else:
+                    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                        img, v2d = z["img"], z["v2d"]
+                        seed = int(z["seed"]) if "seed" in z.files else 0
+                        resp_dtype = (str(z["resp_dtype"])
+                                      if "resp_dtype" in z.files else "float32")
+                        resp_compress = bool(
+                            "resp_compress" in z.files
+                            and int(z["resp_compress"]))
                 if resp_dtype not in ("float32", "float16"):
                     return self._send_json(400, {
                         "error": f"resp_dtype must be float32|float16, "
                                  f"got {resp_dtype!r}"})
             except Exception as exc:
                 # catch-all: truncated PK archives raise zipfile.BadZipFile,
-                # etc. — every body-decode failure is the client's 400, never
-                # a dropped connection
+                # raw-frame mismatches raise ValueError, etc. — every
+                # body-decode failure is the client's 400, never a dropped
+                # connection
                 return self._send_json(400, {"error": str(exc)})
             try:
                 fut = server.submit(img, v2d, seed=seed)
@@ -519,6 +637,9 @@ def build_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 return self._send_json(500, {"error": str(exc)})
             if resp_dtype == "float16":
                 velocity = velocity.astype(np.float16)
+            if raw_mode:  # raw in -> raw out: header + buffer, no zlib
+                return self._send(200, encode_raw_response(velocity),
+                                  "application/x-mfr1")
             buf = io.BytesIO()
             (np.savez_compressed if resp_compress else np.savez)(
                 buf, velocity=velocity)

@@ -308,6 +308,37 @@ def test_http_round_trip(pred):
         scale = float(np.abs(expected).max()) + 1e-12
         assert float(np.abs(got16.astype(np.float32) - expected).max()) \
             / scale < 5e-2
+        # round-5 raw-bytes mode (VERDICT r4 item 8): MFR1 frame in ->
+        # MFR1 frame out, numerically identical to the npz path (same
+        # seed -> same batch pipeline), zero npz/zlib CPU
+        from diffusion_model_project_tpu.utils.serving import (
+            decode_raw_response, encode_raw_request)
+        raw_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=encode_raw_request(img, v2d, seed=7))
+        with urllib.request.urlopen(raw_req, timeout=300) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "application/x-mfr1"
+            raw_vel = decode_raw_response(resp.read())
+        np.testing.assert_allclose(raw_vel, expected, rtol=1e-5, atol=1e-6)
+        # f16 request buffers + f16 response halve both directions
+        raw16 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=encode_raw_request(img.astype(np.float16),
+                                    v2d.astype(np.float16), seed=7,
+                                    resp_dtype="float16"))
+        with urllib.request.urlopen(raw16, timeout=300) as resp:
+            vel16 = decode_raw_response(resp.read())
+        assert vel16.dtype == np.float16
+        assert float(np.abs(vel16.astype(np.float32) - expected).max()) \
+            / scale < 5e-2
+        # malformed raw frame (magic but truncated) -> 400
+        bad_raw = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=b"MFR1" + b"\0" * 12)
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad_raw, timeout=60)
+        assert exc_info.value.code == 400
+
         # unsupported resp_dtype -> 400
         buf = io.BytesIO()
         np.savez(buf, img=img, v2d=v2d, resp_dtype="float64")
@@ -338,3 +369,32 @@ def test_http_round_trip(pred):
         httpd.shutdown()
         httpd.server_close()
         server.close()
+
+
+def test_raw_frame_codec_round_trip():
+    """MFR1 raw-frame helpers: lossless both directions, loud on malformed
+    frames (utils/serving.py round-5 raw-bytes mode)."""
+    from diffusion_model_project_tpu.utils.serving import (
+        decode_raw_request, decode_raw_response, encode_raw_request,
+        encode_raw_response)
+
+    r = np.random.default_rng(0)
+    img = (r.random((5, 1, 12, 12)) > 0.5).astype(np.float32)
+    v2d = r.standard_normal((5, 3, 12, 12)).astype(np.float16)
+    body = encode_raw_request(img, v2d, seed=123, resp_dtype="float16")
+    assert len(body) == 32 + img.nbytes + v2d.nbytes
+    i2, v2, seed, rd = decode_raw_request(body)
+    np.testing.assert_array_equal(i2, img)
+    np.testing.assert_array_equal(v2, v2d)
+    assert (seed, rd) == (123, "float16")
+
+    vel = r.standard_normal((5, 3, 12, 12)).astype(np.float32)
+    np.testing.assert_array_equal(
+        decode_raw_response(encode_raw_response(vel)), vel)
+
+    with pytest.raises(ValueError):
+        decode_raw_request(b"XXXX" + bytes(60))
+    with pytest.raises(ValueError):
+        decode_raw_request(body[:-1])
+    with pytest.raises(ValueError):
+        decode_raw_response(encode_raw_response(vel)[:-3])
