@@ -82,6 +82,22 @@ def parse_args(argv=None):
                              "(full state: trainable params, optimizer "
                              "moments, the cross-epoch accumulated-grad "
                              "buffer, epoch and best-loss counters)")
+    parser.add_argument("--cache-data", default="auto",
+                        choices=["auto", "true", "false"],
+                        help="keep the normalized paired volumes device-"
+                             "resident and gather batches on device, "
+                             "replaying the loader's exact shuffle stream "
+                             "(see train_vae_stage1.py --cache-data; the "
+                             "shared microstructure mask is stored once per "
+                             "pair). Incompatible with --augment")
+    parser.add_argument("--cache-data-cap-gb", type=float, default=4.0,
+                        help="--cache-data auto threshold on the device-"
+                             "resident bytes (train+val)")
+    parser.add_argument("--ckpt-freq", type=int, default=1,
+                        help="write the checkpoint set every N epochs "
+                             "(default 1 = reference contract); final epoch, "
+                             "best-on-grid and graceful stop always write "
+                             "(see train_vae_stage1.py --ckpt-freq)")
     parser.add_argument("--tensorboard", type=str_to_bool, nargs="?",
                         const=True, default=False,
                         help="mirror the vae_log.json loss scalars into "
@@ -163,8 +179,10 @@ def _to_cl(x):
     return jnp.moveaxis(jnp.asarray(x), 1, -1)
 
 
-def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
-               lambda_align: float, lambda_cross: float, accum_steps: int = 5):
+def make_loss_fn(vae: DualBranchVAE, loss_name: str, lambda_align: float,
+                 lambda_cross: float):
+    """Shared by the per-step path and the fused-epoch scan (see the
+    stage-1 twin): identical ops in identical order keep the paths equal."""
     loss_fn_cf = LOSS_FUNCTIONS[loss_name]
 
     def losses(trainable, frozen, batch):
@@ -201,6 +219,13 @@ def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
         bad = ~jnp.isfinite(mu2d).all()
         return total, {"recons_2d": recon_loss, "align": align_loss,
                        "cross": cross_loss, "kl_2d": jnp.float32(0.0), "bad": bad}
+
+    return losses
+
+
+def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
+               lambda_align: float, lambda_cross: float, accum_steps: int = 5):
+    losses = make_loss_fn(vae, loss_name, lambda_align, lambda_cross)
 
     def _apply(trainable, opt_state, g_acc):
         updates, opt_state = optimizer.update(g_acc, opt_state, trainable)
@@ -243,6 +268,68 @@ def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
         return metrics
 
     return train_step, apply_step, eval_step
+
+
+def make_epoch_steps(vae: DualBranchVAE, loss_name: str, optimizer,
+                     lambda_align: float, lambda_cross: float,
+                     accum_steps: int = 5):
+    """Fused-epoch scans over the paired device store (stage-1's
+    make_epoch_steps twin): one dispatch per train/val epoch, body math
+    identical to the per-step path. Store keys velocity_2d/velocity_3d/mask
+    are remapped to the step's batch contract inside the scan (the shared
+    per-pair microstructure fills both mask slots)."""
+    losses = make_loss_fn(vae, loss_name, lambda_align, lambda_cross)
+
+    def _apply(trainable, opt_state, g_acc):
+        updates, opt_state = optimizer.update(g_acc, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        g_acc = jax.tree_util.tree_map(jnp.zeros_like, g_acc)
+        return trainable, opt_state, g_acc
+
+    def _gather(store, ids):
+        mask = jnp.take(store["mask"], ids, axis=0)
+        return {"velocity_2d": jnp.take(store["velocity_2d"], ids, axis=0),
+                "mask_2d": mask,
+                "velocity_3d": jnp.take(store["velocity_3d"], ids, axis=0),
+                "mask_3d": mask}
+
+    donate = () if jax.config.jax_debug_nans else (0, 1, 2)
+
+    @partial(jax.jit, donate_argnums=donate)
+    def train_epoch(trainable, opt_state, g_acc, frozen, store, idx,
+                    boundaries):
+        from .accum import accumulate_clipped
+        from ..models.layers import train_trace
+
+        def body(carry, xs):
+            trainable, opt_state, g_acc = carry
+            ids, boundary = xs
+            with train_trace():
+                (_, metrics), grads = jax.value_and_grad(
+                    losses, has_aux=True)(trainable, frozen,
+                                          _gather(store, ids))
+            g_acc = accumulate_clipped(g_acc, grads, ~metrics["bad"],
+                                       accum_steps)
+            trainable, opt_state, g_acc = jax.lax.cond(
+                jnp.logical_and(~metrics["bad"], boundary),
+                _apply, lambda t, o, g: (t, o, g),
+                trainable, opt_state, g_acc)
+            return (trainable, opt_state, g_acc), metrics
+
+        (trainable, opt_state, g_acc), metrics = jax.lax.scan(
+            body, (trainable, opt_state, g_acc), (idx, boundaries))
+        return trainable, opt_state, g_acc, metrics
+
+    @jax.jit
+    def eval_epoch(trainable, frozen, store, idx):
+        def body(carry, ids):
+            _, metrics = losses(trainable, frozen, _gather(store, ids))
+            return carry, metrics
+
+        _, metrics = jax.lax.scan(body, 0, idx)
+        return metrics
+
+    return train_epoch, eval_epoch
 
 
 def scan_train_metrics(metricses, keys=("recons_2d", "align", "cross", "kl_2d")):
@@ -382,6 +469,10 @@ def main(argv=None):
         print(f"Resumed from {state_path} at epoch {start_epoch} "
               f"(best val loss {best_val_loss:.6f})")
 
+    # best among epochs whose checkpoint actually wrote (--ckpt-freq gating;
+    # see train_vae_stage1.py for the resume-seeding rationale)
+    best_saved_loss = best_val_loss
+
     # optional TensorBoard mirror of vae_log.json (utils/tb.py); purge_step
     # on resume drops abandoned-epoch events like the JSON truncation above
     from ..utils.tb import TensorBoardLogger
@@ -410,6 +501,58 @@ def main(argv=None):
     _norm_unsharded = norm_batch
     norm_batch = lambda b: maybe_shard_batch(_norm_unsharded(b), mesh)  # noqa: E731
 
+    # --cache-data: normalized pair volumes uploaded ONCE, batches gathered
+    # on device replaying the loader's shuffle stream (the stage-1 store,
+    # train_vae_stage1.py::build_device_store). The 2d and 3d legs share one
+    # microstructure, so the mask is stored once per pair.
+    from .train_vae_stage1 import build_device_store, loader_shuffle_order
+    sample_bytes = (2 * sample0["velocity"].nbytes
+                    + sample0["microstructure"].nbytes)
+    est_bytes = (train_size + val_size) * sample_bytes
+    cache_data = (args.cache_data == "true"
+                  or (args.cache_data == "auto"
+                      and est_bytes <= args.cache_data_cap_gb * 2**30))
+    if args.augment and cache_data:
+        if args.cache_data == "true":
+            raise ValueError(
+                "--cache-data true is incompatible with --augment (flips "
+                "are applied host-side in the streaming path); drop one")
+        cache_data = False
+    train_store = val_store = None
+    if cache_data:
+        t0s = time.time()
+        nf0 = np.asarray(nf)[0]  # (3,1,1,1): per-sample == batched divide
+        tx = lambda s: {  # noqa: E731
+            "velocity_2d": (s["velocity_2d"] / nf0).astype(np.float32),
+            "velocity_3d": (s["velocity_3d"] / nf0).astype(np.float32),
+            "mask": s["mask_3d"]}
+        train_store = build_device_store(train_loader.dataset, tx, mesh=mesh)
+        val_store = build_device_store(val_loader.dataset, tx, mesh=mesh)
+        mb = sum(v.size * v.dtype.itemsize
+                 for st in (train_store, val_store)
+                 for v in st.values()) / 2**20
+        print(f"Device data store: {train_size}+{val_size} pairs, "
+              f"{mb:.0f} MB resident "
+              f"({time.time() - t0s:.1f}s one-time build+upload)")
+    elif args.cache_data == "auto" and not args.augment:
+        print(f"--cache-data auto: {est_bytes / 2**30:.1f} GB exceeds the "
+              f"{args.cache_data_cap_gb:.1f} GB cap; streaming batches")
+
+    if cache_data:
+        train_epoch_fn, eval_epoch_fn = make_epoch_steps(
+            vae, args.loss_function, optimizer, args.lambda_align,
+            args.lambda_cross, accum_steps=args.grad_accum)
+
+    def gather_remainder(store, rem):
+        # ragged final batch: store keys -> the step's batch contract; both
+        # mask slots gather the one shared per-pair microstructure
+        mask = jnp.take(store["mask"], rem, axis=0)
+        from ..parallel import maybe_shard_batch as _msb
+        return _msb({"velocity_2d": jnp.take(store["velocity_2d"], rem, 0),
+                     "mask_2d": mask,
+                     "velocity_3d": jnp.take(store["velocity_3d"], rem, 0),
+                     "mask_3d": mask}, mesh)
+
     # SIGTERM/SIGINT (TPU-VM preemption, Ctrl-C) stops within one batch,
     # discards the partial epoch, drains the writer, exits cleanly
     from ..utils.preempt import GracefulShutdown
@@ -426,14 +569,45 @@ def main(argv=None):
             # the train loop's only host sync (VERDICT r4 weak #1)
             metricses = []
             i = -1
-            for i, batch in enumerate(train_loader):
+            if cache_data:
+                # fused epoch: one dispatch for every full batch (see the
+                # stage-1 twin); preemption granularity becomes one epoch
                 if shutdown.requested:
                     preempted = True
                     break
-                trainable, opt_state, g_acc, metrics = train_step(
-                    trainable, opt_state, g_acc, frozen, norm_batch(batch),
-                    (i + 1) % args.grad_accum == 0)
-                metricses.append(metrics)
+                bs = args.batch_size
+                order = loader_shuffle_order(train_size, args.seed, epoch,
+                                             shuffle=True)
+                num_b = (train_size + bs - 1) // bs
+                n_full = train_size // bs
+                boundaries = np.asarray(
+                    [(t + 1) % args.grad_accum == 0 for t in range(num_b)])
+                if n_full:
+                    idx = jnp.asarray(
+                        order[:n_full * bs].reshape(n_full, bs))
+                    trainable, opt_state, g_acc, stacked = train_epoch_fn(
+                        trainable, opt_state, g_acc, frozen, train_store,
+                        idx, jnp.asarray(boundaries[:n_full]))
+                    from .train_vae_stage1 import stacked_to_dicts
+                    metricses = stacked_to_dicts(stacked)
+                    i = n_full - 1
+                if train_size % bs:
+                    batch = gather_remainder(
+                        train_store, jnp.asarray(order[n_full * bs:]))
+                    trainable, opt_state, g_acc, metrics = train_step(
+                        trainable, opt_state, g_acc, frozen, batch,
+                        bool(boundaries[-1]))
+                    metricses.append(metrics)
+                    i = num_b - 1
+            else:
+                for i, batch in enumerate(train_loader):
+                    if shutdown.requested:
+                        preempted = True
+                        break
+                    trainable, opt_state, g_acc, metrics = train_step(
+                        trainable, opt_state, g_acc, frozen, norm_batch(batch),
+                        (i + 1) % args.grad_accum == 0)
+                    metricses.append(metrics)
             if preempted:
                 break  # partial epoch discarded; state is at the last boundary
             running, skipped_batches = scan_train_metrics(
@@ -447,12 +621,33 @@ def main(argv=None):
 
             val_metricses = []
             j = -1
-            for j, batch in enumerate(val_loader):
+            if cache_data:
                 if shutdown.requested:
                     preempted = True
                     break
-                val_metricses.append(
-                    eval_step(trainable, frozen, norm_batch(batch)))
+                bs = args.batch_size
+                num_vb = (val_size + bs - 1) // bs
+                nv_full = val_size // bs
+                if nv_full:
+                    vidx = jnp.asarray(
+                        np.arange(nv_full * bs).reshape(nv_full, bs))
+                    from .train_vae_stage1 import stacked_to_dicts
+                    val_metricses = stacked_to_dicts(eval_epoch_fn(
+                        trainable, frozen, val_store, vidx))
+                    j = nv_full - 1
+                if val_size % bs:
+                    batch = gather_remainder(
+                        val_store, jnp.asarray(np.arange(nv_full * bs,
+                                                         val_size)))
+                    val_metricses.append(eval_step(trainable, frozen, batch))
+                    j = num_vb - 1
+            else:
+                for j, batch in enumerate(val_loader):
+                    if shutdown.requested:
+                        preempted = True
+                        break
+                    val_metricses.append(
+                        eval_step(trainable, frozen, norm_batch(batch)))
             if preempted:
                 break
             val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
@@ -477,35 +672,54 @@ def main(argv=None):
             if abs(checksum(frozen["decoder_3d"]) - d3d_checksum) > 1e-5:
                 print("  WARNING: D3D weights changed!")
 
-            save(osp.join(args.save_dir, "model.msgpack"), trainable)
             current_val_loss = (val["recons_2d"] / num_val
                                 + kl_coeff * val["kl_2d"] / num_val
                                 + args.lambda_align * val["align"] / num_val
                                 + args.lambda_cross * val["cross"] / num_val)
+            # best tracked EVERY epoch; the WRITE is best-on-grid under
+            # --ckpt-freq (train_vae_stage1.py / train_diffusion.py)
             if current_val_loss < best_val_loss:
                 best_val_loss = current_val_loss
-                save(osp.join(args.save_dir, "best_model.msgpack"), trainable)
-            # FIFO order: weights -> vae_log.json -> train_state.msgpack
-            # (log encoded eagerly — log_dict mutates next epoch). The resume
-            # state can lag the log by one epoch but never lead it, so resume
-            # never loses a recorded epoch (same discipline as the diffusion
-            # trainer; asserted under real SIGKILL in tests/test_crash_kill.py)
-            ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
-                               json.dumps(log_dict, indent=2).encode(),
-                               serialize=bytes)
-            ckpt_writer.submit(state_path, device_snapshot({
-                "trainable": trainable,
-                "opt_state": serialization.to_state_dict(opt_state),
-                "g_acc": g_acc,
-                "epoch": np.int64(epoch),
-                "best_val_loss": np.float64(best_val_loss),
-            }))
+            ckpt_freq = max(1, int(args.ckpt_freq or 1))
+            save_this_epoch = (epoch % ckpt_freq == 0
+                               or epoch == args.num_epochs - 1)
+
+            def write_checkpoint_set():
+                nonlocal best_saved_loss
+                save(osp.join(args.save_dir, "model.msgpack"), trainable)
+                if current_val_loss < best_saved_loss:
+                    best_saved_loss = current_val_loss
+                    save(osp.join(args.save_dir, "best_model.msgpack"),
+                         trainable)
+                # FIFO order: weights -> vae_log.json -> train_state.msgpack
+                # (log encoded eagerly — log_dict mutates next epoch). The
+                # resume state can lag the log by one epoch but never lead
+                # it, so resume never loses a recorded epoch (same
+                # discipline as the diffusion trainer; asserted under real
+                # SIGKILL in tests/test_crash_kill.py)
+                ckpt_writer.submit(osp.join(args.save_dir, "vae_log.json"),
+                                   json.dumps(log_dict, indent=2).encode(),
+                                   serialize=bytes)
+                ckpt_writer.submit(state_path, device_snapshot({
+                    "trainable": trainable,
+                    "opt_state": serialization.to_state_dict(opt_state),
+                    "g_acc": g_acc,
+                    "epoch": np.int64(epoch),
+                    "best_val_loss": np.float64(best_val_loss),
+                }))
+
+            if save_this_epoch:
+                write_checkpoint_set()
             print(f"Epoch {epoch + 1}/{args.num_epochs}: "
                   f"recons2d {running['recons_2d'] / num_train:.6f}/{val['recons_2d'] / num_val:.6f} "
                   f"align {running['align'] / num_train:.6f} cross {running['cross'] / num_train:.6f} "
                   f"time {time.time() - t0:.1f}s")
             if shutdown.requested:
-                preempted = True  # arrived during checkpointing: epoch IS saved
+                # a graceful stop leaves THIS epoch on disk even when
+                # --ckpt-freq gated the regular write above
+                if not save_this_epoch:
+                    write_checkpoint_set()
+                preempted = True
                 break
 
     try:

@@ -62,6 +62,13 @@ def parse_args(argv=None):
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--sanity-mode", action="store_true",
                         help="VAE-ONLY mode: bypass diffusion, test VAE reconstruction only")
+    parser.add_argument("--cross-mode", action="store_true",
+                        help="VAE-ONLY cross path: 2D input -> E2D -> D3D, "
+                             "no diffusion — the composed conditioning+"
+                             "decode ceiling sitting between --sanity-mode "
+                             "(E3D -> D3D) and the full sampler rows; "
+                             "measures what the stage-2 alignment + frozen "
+                             "decoder give before any sampler error")
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--int8", action="store_true",
                         help="int8 frozen-VAE fast path (the serve.py knob) "
@@ -140,9 +147,12 @@ def load_model_and_config(args, image_hw):
 
 
 def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
-                   num_steps=50, seed=42, sanity_mode=False, num_samples=None,
+                   num_steps=50, seed=42, sanity_mode=False, cross_mode=False,
+                   num_samples=None,
                    single_index=None, noise_dir=None, torch_noise=False,
                    save_npz_dir=None, batch_size=1):
+    if sanity_mode and cross_mode:
+        raise ValueError("--sanity-mode and --cross-mode are exclusive")
     if sampler == "ddpm" and batch_size > 1:
         raise ValueError(
             "--sampler ddpm requires --batch-size 1: the ancestral noise "
@@ -168,6 +178,8 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
     print("=" * 60)
     if sanity_mode:
         print(f"VAE-ONLY SANITY CHECK on {total} sample(s)  (GT -> E3D -> D3D)")
+    elif cross_mode:
+        print(f"VAE-ONLY CROSS CHECK on {total} sample(s)  (2D -> E2D -> D3D)")
     else:
         print(f"END-TO-END DIFFUSION EVALUATION on {total} sample(s)")
         print(f"    2D input -> E2D -> {sampler.upper()} ({num_steps} steps) -> D3D")
@@ -181,6 +193,19 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             v_norm = pred.norm_output.normalize(v_cl, channel_axis=-1)
             mu, _ = pred.vae.apply({"params": pred.vae_params}, v_norm,
                                    method="encode_3d_deterministic")
+            recon = pred.vae.apply({"params": pred.vae_params}, mu, method="decode_3d")
+            recon = pred.norm_output.inverse(recon, channel_axis=-1)
+            return jnp.moveaxis(recon, -1, 2) * img
+    elif cross_mode:
+        @jax.jit
+        def predict_fn(pred, img, v2d, target, noise, rng):
+            # the composed conditioning+decode ceiling: normalize the 2D
+            # input with the SAME output normalizer stage-2 trained under,
+            # take E2D's deterministic mu, decode through the frozen D3D
+            v_cl = jnp.moveaxis(v2d, 2, -1)
+            v_norm = pred.norm_output.normalize(v_cl, channel_axis=-1)
+            mu, _ = pred.vae.apply({"params": pred.vae_params}, v_norm,
+                                   method="encode_2d_deterministic")
             recon = pred.vae.apply({"params": pred.vae_params}, mu, method="decode_3d")
             recon = pred.norm_output.inverse(recon, channel_axis=-1)
             return jnp.moveaxis(recon, -1, 2) * img
@@ -235,10 +260,10 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
         velocity_2d = np.stack([d["velocity_input"] for d in datas])
         target = np.stack([d["velocity"] for d in datas])
 
-        if sanity_mode:
-            # the VAE-only path ignores the initial latents; drawing (or
+        if sanity_mode or cross_mode:
+            # the VAE-only paths ignore the initial latents; drawing (or
             # np.load-ing, for --noise-dir) them would waste work or crash
-            noise, target_arg = None, target
+            noise, target_arg = None, (target if sanity_mode else None)
         else:
             ld = velocity_2d.shape[1] // predictor.vae_depth_factor
             lh, lw = img.shape[-2] // 4, img.shape[-1] // 4
@@ -314,7 +339,8 @@ def run_evaluation(predictor, test_dataset, norm_factors, *, sampler="ddim",
             eval_idx += 1
             elapsed = time.time() - start_time
             samples_per_sec = eval_idx / elapsed if elapsed > 0 else 0
-            mode_prefix = "[VAE]" if sanity_mode else "[DIFF]"
+            mode_prefix = ("[VAE]" if sanity_mode
+                           else "[XVAE]" if cross_mode else "[DIFF]")
             print(f"{mode_prefix} Sample {sample_idx:4d} ({eval_idx}/{total}) | "
                   f"nMAE={metrics['nmae_total']:.4f} | "
                   f"Acc={metrics['accuracy_score']:.4f} | "
@@ -351,11 +377,16 @@ def aggregate_results(per_sample_results):
 
 def save_results(per_sample_results, aggregated, sanity_stats, args, output_dir):
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-    mode_str = "vae_only" if args.sanity_mode else f"diffusion_{args.sampler}_{args.steps}steps"
+    mode_str = ("vae_only" if args.sanity_mode
+                else "vae_cross" if args.cross_mode
+                else f"diffusion_{args.sampler}_{args.steps}steps")
     results = {
         "timestamp": timestamp,
-        "evaluation_mode": "VAE_ONLY_SANITY_CHECK" if args.sanity_mode else "END_TO_END_DIFFUSION",
+        "evaluation_mode": ("VAE_ONLY_SANITY_CHECK" if args.sanity_mode
+                            else "VAE_CROSS_CHECK" if args.cross_mode
+                            else "END_TO_END_DIFFUSION"),
         "pipeline": ("GT -> E3D -> D3D -> compare" if args.sanity_mode
+                     else "2D input -> E2D -> D3D -> compare" if args.cross_mode
                      else f"2D input -> E2D -> {args.sampler.upper()} ({args.steps} steps) -> D3D -> compare"),
         "args": vars(args),
         "summary": aggregated,
@@ -414,7 +445,8 @@ def main(argv=None):
     per_sample, sanity = run_evaluation(
         predictor, dataset, norm_factors,
         sampler=args.sampler, num_steps=args.steps, seed=args.seed,
-        sanity_mode=args.sanity_mode, num_samples=args.num_samples,
+        sanity_mode=args.sanity_mode, cross_mode=args.cross_mode,
+        num_samples=args.num_samples,
         single_index=args.index, noise_dir=args.noise_dir,
         torch_noise=args.torch_noise, save_npz_dir=npz_dir,
         batch_size=max(1, args.batch_size))

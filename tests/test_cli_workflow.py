@@ -162,6 +162,31 @@ def test_eval_sanity_mode(data_dir, diffusion_dir, stage1_dir, stage2_dir, tmp_p
     assert results["evaluation_mode"] == "VAE_ONLY_SANITY_CHECK"
 
 
+def test_eval_cross_mode(data_dir, diffusion_dir, stage1_dir, stage2_dir,
+                         tmp_path):
+    """--cross-mode: 2D input -> E2D -> D3D, no diffusion — the composed
+    conditioning+decode ceiling row (round-5 decomposition)."""
+    sys.path.insert(0, osp.join(REPO, "scripts"))
+    import importlib
+    eval_mod = importlib.import_module("eval_testset_end2end")
+    out_dir = str(tmp_path / "cross_out")
+    eval_mod.main([
+        "--diffusion-model-path", diffusion_dir,
+        "--vae-encoder-path", stage2_dir, "--vae-decoder-path", stage1_dir,
+        "--dataset-dir", data_dir, "--cross-mode", "--index", "0",
+        "--output-dir", out_dir,
+    ])
+    import os
+    json_files = [f for f in os.listdir(out_dir)
+                  if f.startswith("eval_results_vae_cross")]
+    assert json_files
+    results = json.load(open(osp.join(out_dir, json_files[0])))
+    assert results["evaluation_mode"] == "VAE_CROSS_CHECK"
+    assert results["pipeline"].startswith("2D input -> E2D -> D3D")
+    s = results["summary"]
+    assert np.isfinite(s["nmae_total_mean"])
+
+
 def test_evaluate_cli(data_dir, diffusion_dir):
     import evaluate as evaluate_cli
     evaluate_cli.main(["--model-dir", diffusion_dir, "--root-dir", data_dir])
