@@ -21,9 +21,10 @@ epoch's metrics in one device_get at the end, so uploads overlap compute
 instead of serializing on per-batch float() fetches (the round-4 6.5x
 wall/device gap, BENCH_EPOCH_r04). With --cache-data (default auto) the
 normalized volumes are device-resident and the ENTIRE epoch is one jitted
-lax.scan (make_epoch_steps): one dispatch per epoch removes the ~0.4 s/step
-tunnel round-trip overhead the dispatched loop still paid, landing the
-epoch at its device bound; batches, order and rng draws replay the
+lax.scan (make_epoch_steps): one dispatch per epoch makes the epoch wall
+immune to host CPU contention (measured: the dispatched loop's epochs
+inflate 3-23x when the 1-core host is busy; the fused epoch holds its
+device-bound wall throughout); batches, order and rng draws replay the
 streaming path exactly (tests/test_vae_device_step.py). Params are
 {'encoder_3d': ..., 'decoder_3d': ...} so saved checkpoints carry the same
 branch names as the reference's VAE3DWrapper state dicts.
@@ -294,10 +295,12 @@ def make_epoch_steps(vae: Stage1VAE, loss_name: str, optimizer,
     train (or val) epoch is one jitted ``lax.scan`` whose body is exactly
     the per-step path's math — gather batch rows, grad, skip-aware
     accumulate+clip, lax.cond optimizer step — so one dispatch replaces
-    ~num_batches round-trips. Through the tunneled single-chip setup the
-    dispatched loop measured ~430 ms of per-step host/RPC overhead on a
-    ~205 ms device step (epoch 50 s vs the 13.8 s device bound); the fused
-    epoch is the bench.py timing-loop pattern applied to training.
+    ~num_batches round-trips. On an idle host the dispatched loop already
+    pipelines to the device bound (measured equal walls); what the fused
+    epoch buys on a 1-core host is contention immunity — a busy host
+    inflated the dispatched loop's epochs 3-23x while the fused epoch held
+    its wall (PERF.md round-5 section). It is the bench.py timing-loop
+    pattern applied to training.
 
     Returns (train_epoch, eval_epoch):
       train_epoch(params, opt_state, g_acc, store, idx, rngs, boundaries,
