@@ -84,15 +84,24 @@ def parse_args(argv=None):
                              "buffer, epoch and best-loss counters)")
     parser.add_argument("--cache-data", default="auto",
                         choices=["auto", "true", "false"],
-                        help="keep the normalized paired volumes device-"
-                             "resident and gather batches on device, "
+                        help="keep the normalized TRAIN pair volumes "
+                             "device-resident and gather batches on device, "
                              "replaying the loader's exact shuffle stream "
-                             "(see train_vae_stage1.py --cache-data; the "
-                             "shared microstructure mask is stored once per "
-                             "pair). Incompatible with --augment")
-    parser.add_argument("--cache-data-cap-gb", type=float, default=4.0,
+                             "(see train_vae_stage1.py --cache-data). The "
+                             "shared per-pair microstructure is stored once "
+                             "as uint8 and the val split streams — stage-2's "
+                             "three-network remat peak leaves the thinnest "
+                             "HBM headroom. Incompatible with --augment")
+    parser.add_argument("--cache-data-cap-gb", type=float, default=0.5,
                         help="--cache-data auto threshold on the device-"
-                             "resident bytes (train+val)")
+                             "resident bytes (train split). Default is "
+                             "deliberately small: stage-2's three-network "
+                             "remat peak measured within ~1 GB of a v5e "
+                             "chip's HBM at published scale — a resident "
+                             "store on top reproducibly killed the TPU "
+                             "worker, so auto only caches datasets that "
+                             "leave real headroom; raise the cap (or force "
+                             "true) on larger chips")
     parser.add_argument("--ckpt-freq", type=int, default=1,
                         help="write the checkpoint set every N epochs "
                              "(default 1 = reference contract); final epoch, "
@@ -273,11 +282,13 @@ def make_steps(vae: DualBranchVAE, loss_name: str, optimizer,
 def make_epoch_steps(vae: DualBranchVAE, loss_name: str, optimizer,
                      lambda_align: float, lambda_cross: float,
                      accum_steps: int = 5):
-    """Fused-epoch scans over the paired device store (stage-1's
-    make_epoch_steps twin): one dispatch per train/val epoch, body math
+    """Fused-epoch TRAIN scan over the paired device store (stage-1's
+    make_epoch_steps twin): one dispatch per train epoch, body math
     identical to the per-step path. Store keys velocity_2d/velocity_3d/mask
     are remapped to the step's batch contract inside the scan (the shared
-    per-pair microstructure fills both mask slots)."""
+    per-pair microstructure, stored uint8, fills both mask slots). No val
+    scan: stage-2 streams validation — the val store was the HBM straw on
+    top of its three-network remat peak."""
     losses = make_loss_fn(vae, loss_name, lambda_align, lambda_cross)
 
     def _apply(trainable, opt_state, g_acc):
@@ -287,7 +298,8 @@ def make_epoch_steps(vae: DualBranchVAE, loss_name: str, optimizer,
         return trainable, opt_state, g_acc
 
     def _gather(store, ids):
-        mask = jnp.take(store["mask"], ids, axis=0)
+        # mask stored uint8 (binary 0/1 — HBM diet); cast back is exact
+        mask = jnp.take(store["mask"], ids, axis=0).astype(jnp.float32)
         return {"velocity_2d": jnp.take(store["velocity_2d"], ids, axis=0),
                 "mask_2d": mask,
                 "velocity_3d": jnp.take(store["velocity_3d"], ids, axis=0),
@@ -320,16 +332,7 @@ def make_epoch_steps(vae: DualBranchVAE, loss_name: str, optimizer,
             body, (trainable, opt_state, g_acc), (idx, boundaries))
         return trainable, opt_state, g_acc, metrics
 
-    @jax.jit
-    def eval_epoch(trainable, frozen, store, idx):
-        def body(carry, ids):
-            _, metrics = losses(trainable, frozen, _gather(store, ids))
-            return carry, metrics
-
-        _, metrics = jax.lax.scan(body, 0, idx)
-        return metrics
-
-    return train_epoch, eval_epoch
+    return train_epoch
 
 
 def scan_train_metrics(metricses, keys=("recons_2d", "align", "cross", "kl_2d")):
@@ -503,12 +506,17 @@ def main(argv=None):
 
     # --cache-data: normalized pair volumes uploaded ONCE, batches gathered
     # on device replaying the loader's shuffle stream (the stage-1 store,
-    # train_vae_stage1.py::build_device_store). The 2d and 3d legs share one
-    # microstructure, so the mask is stored once per pair.
+    # train_vae_stage1.py::build_device_store). Stage-2 differentiates
+    # through THREE networks at full resolution, so its HBM headroom is the
+    # thinnest of the trainers (the full train+val f32 store reproducibly
+    # killed the v5e worker); two exact size cuts keep it resident:
+    #   - TRAIN split only — val streams (14 pair uploads/epoch, ~6 s);
+    #   - the shared per-pair microstructure stored as uint8 (binary 0/1;
+    #     the gather casts back to f32, bit-identical values).
     from .train_vae_stage1 import build_device_store, loader_shuffle_order
     sample_bytes = (2 * sample0["velocity"].nbytes
-                    + sample0["microstructure"].nbytes)
-    est_bytes = (train_size + val_size) * sample_bytes
+                    + sample0["microstructure"].nbytes // 4)
+    est_bytes = train_size * sample_bytes
     cache_data = (args.cache_data == "true"
                   or (args.cache_data == "auto"
                       and est_bytes <= args.cache_data_cap_gb * 2**30))
@@ -518,35 +526,34 @@ def main(argv=None):
                 "--cache-data true is incompatible with --augment (flips "
                 "are applied host-side in the streaming path); drop one")
         cache_data = False
-    train_store = val_store = None
+    train_store = None
     if cache_data:
         t0s = time.time()
         nf0 = np.asarray(nf)[0]  # (3,1,1,1): per-sample == batched divide
         tx = lambda s: {  # noqa: E731
             "velocity_2d": (s["velocity_2d"] / nf0).astype(np.float32),
             "velocity_3d": (s["velocity_3d"] / nf0).astype(np.float32),
-            "mask": s["mask_3d"]}
+            "mask": s["mask_3d"].astype(np.uint8)}
         train_store = build_device_store(train_loader.dataset, tx, mesh=mesh)
-        val_store = build_device_store(val_loader.dataset, tx, mesh=mesh)
         mb = sum(v.size * v.dtype.itemsize
-                 for st in (train_store, val_store)
-                 for v in st.values()) / 2**20
-        print(f"Device data store: {train_size}+{val_size} pairs, "
-              f"{mb:.0f} MB resident "
-              f"({time.time() - t0s:.1f}s one-time build+upload)")
+                 for v in train_store.values()) / 2**20
+        print(f"Device data store: {train_size} train pairs, "
+              f"{mb:.0f} MB resident (val streams; "
+              f"{time.time() - t0s:.1f}s one-time build+upload)")
     elif args.cache_data == "auto" and not args.augment:
         print(f"--cache-data auto: {est_bytes / 2**30:.1f} GB exceeds the "
               f"{args.cache_data_cap_gb:.1f} GB cap; streaming batches")
 
     if cache_data:
-        train_epoch_fn, eval_epoch_fn = make_epoch_steps(
+        train_epoch_fn = make_epoch_steps(
             vae, args.loss_function, optimizer, args.lambda_align,
             args.lambda_cross, accum_steps=args.grad_accum)
 
     def gather_remainder(store, rem):
         # ragged final batch: store keys -> the step's batch contract; both
-        # mask slots gather the one shared per-pair microstructure
-        mask = jnp.take(store["mask"], rem, axis=0)
+        # mask slots gather the one shared per-pair microstructure (uint8
+        # in the store; exact cast back)
+        mask = jnp.take(store["mask"], rem, axis=0).astype(jnp.float32)
         from ..parallel import maybe_shard_batch as _msb
         return _msb({"velocity_2d": jnp.take(store["velocity_2d"], rem, 0),
                      "mask_2d": mask,
@@ -619,35 +626,16 @@ def main(argv=None):
                 g_acc = jax.tree_util.tree_map(jnp.zeros_like, trainable)
             num_train = max(i + 1, 1)
 
+            # val always streams (14 pair uploads, ~6 s): the val store was
+            # the HBM straw on top of stage-2's three-network remat peak
             val_metricses = []
             j = -1
-            if cache_data:
+            for j, batch in enumerate(val_loader):
                 if shutdown.requested:
                     preempted = True
                     break
-                bs = args.batch_size
-                num_vb = (val_size + bs - 1) // bs
-                nv_full = val_size // bs
-                if nv_full:
-                    vidx = jnp.asarray(
-                        np.arange(nv_full * bs).reshape(nv_full, bs))
-                    from .train_vae_stage1 import stacked_to_dicts
-                    val_metricses = stacked_to_dicts(eval_epoch_fn(
-                        trainable, frozen, val_store, vidx))
-                    j = nv_full - 1
-                if val_size % bs:
-                    batch = gather_remainder(
-                        val_store, jnp.asarray(np.arange(nv_full * bs,
-                                                         val_size)))
-                    val_metricses.append(eval_step(trainable, frozen, batch))
-                    j = num_vb - 1
-            else:
-                for j, batch in enumerate(val_loader):
-                    if shutdown.requested:
-                        preempted = True
-                        break
-                    val_metricses.append(
-                        eval_step(trainable, frozen, norm_batch(batch)))
+                val_metricses.append(
+                    eval_step(trainable, frozen, norm_batch(batch)))
             if preempted:
                 break
             val = {"recons_2d": 0.0, "align": 0.0, "cross": 0.0, "kl_2d": 0.0}
