@@ -295,8 +295,11 @@ def bench_train_vae(stage: int):
             "mask_3d": jnp.asarray(mask),
         }
 
+        # frozen must be a runtime ARGUMENT, not a closure: closed-over real
+        # params serialize as literal constants in the compile payload and
+        # the tunnel's remote_compile rejects the request with HTTP 413.
         @jax.jit
-        def loop(trainable, batch, key):
+        def loop4(trainable, frozen, batch, key):
             g0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
             def body(carry, k):
@@ -310,6 +313,9 @@ def bench_train_vae(stage: int):
                 body, (trainable, opt_state0, g0, jnp.float32(0)),
                 jnp.arange(n_iters))
             return losses.sum()
+
+        def loop(trainable, batch, key):
+            return loop4(trainable, frozen, batch, key)
 
     print(f"[bench] compiling stage-{stage} VAE grad loop {hw}x{hw} B={b} "
           f"x{n_iters} ...", file=sys.stderr, flush=True)
